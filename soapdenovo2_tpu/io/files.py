@@ -1,0 +1,238 @@
+"""Stage file protocol: reference-compatible checkpoint files.
+
+The reference's stages communicate exclusively through ``prefix.*`` files
+(SURVEY.md section 5 — the load-bearing checkpoint/resume mechanism).  We
+keep the same filenames and text formats so stages are restartable and so
+golden-file comparisons against reference binaries are possible:
+
+  *.kmerFreq       255 lines of counts            (prlHashReads.c freqStat:1104)
+  *.vertex         branch k-mers, 8 per line      (output_pregraph.c:31)
+  *.preGraphBasic  VERTEX/EDGEs/MaxReadLen lines  (output_pregraph.c:83)
+  *.edge.gz        ">length L,<kmer>,<kmer>,cvg C, B" + bases
+                                                  (output_pregraph.c:88)
+  *.preArc         "from to1 w1 to2 w2 ..." lines (prlRead2path.c output_arcs:427)
+  *.markOnEdge     one count per edge             (prlRead2path.c:443)
+  *.peGrads        lib gradation table            (prlHashReads.c:690)
+  *.contig         FASTA of contigs               (output_contig.c:147)
+  *.ContigIndex    per-contig length/cvg table    (output_contig.c)
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops import kmer as kops
+
+
+def write_kmer_freq(prefix: str, freq: np.ndarray) -> None:
+    with open(prefix + ".kmerFreq", "w") as fh:
+        for i in range(255):
+            fh.write(f"{int(freq[i]) if i < len(freq) else 0}\n")
+
+
+def write_pre_graph_basic(
+    prefix: str, n_vertex: int, k: int, n_edge: int,
+    max_read_len: int, min_read_len: int = 0, max_name_len: int = 256,
+) -> None:
+    with open(prefix + ".preGraphBasic", "w") as fh:
+        fh.write(f"VERTEX {n_vertex} K {k}\n")
+        fh.write(f"\nEDGEs {n_edge}\n")
+        fh.write(
+            f"\nMaxReadLen {max_read_len} MinReadLen {min_read_len} "
+            f"MaxNameLen {max_name_len}\n"
+        )
+
+
+def read_pre_graph_basic(prefix: str) -> dict:
+    out = {}
+    with open(prefix + ".preGraphBasic") as fh:
+        for line in fh:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "VERTEX":
+                out["n_vertex"] = int(t[1])
+                out["k"] = int(t[3])
+            elif t[0] == "EDGEs":
+                out["n_edge"] = int(t[1])
+            elif t[0] == "MaxReadLen":
+                out["max_read_len"] = int(t[1])
+                out["min_read_len"] = int(t[3])
+    return out
+
+
+def write_vertex(prefix: str, kmers: np.ndarray, k: int) -> int:
+    """kmers: (N, W) canonical branch k-mers."""
+    n = kmers.shape[0]
+    with open(prefix + ".vertex", "w") as fh:
+        for i in range(n):
+            fh.write(kops.kmer_to_string(kmers[i], k))
+            fh.write("\n" if (i + 1) % 8 == 0 else " ")
+        fh.write("\n")
+    return n
+
+
+def write_edges(
+    prefix: str,
+    k: int,
+    records: Iterable[Tuple[int, str, int, int]],
+) -> int:
+    """Write *.edge.gz.
+
+    records: (length, full_seq, cvg, bal) per undirected edge, where
+    ``full_seq`` is the complete base string (k + length bases), length the
+    appended-base count, bal 1 if a distinct twin exists else 0.
+    """
+    n = 0
+    with gzip.open(prefix + ".edge.gz", "wt") as fh:
+        for length, seq, cvg, bal in records:
+            from_k = seq[:k]
+            to_k = seq[-k:]
+            fh.write(f">length {length},{from_k},{to_k},cvg {cvg}, {bal}\n")
+            body = seq[k:]
+            for i in range(0, len(body), 100):
+                fh.write(body[i : i + 100] + "\n")
+            if not body:
+                fh.write("\n")
+            n += 1
+    return n
+
+
+def read_edges(prefix: str, k: int) -> List[Tuple[int, str, int, int]]:
+    records = []
+    with gzip.open(prefix + ".edge.gz", "rt") as fh:
+        header = None
+        seq_parts: List[str] = []
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if header is not None:
+                    records.append(_finish_edge(header, seq_parts, k))
+                header = line
+                seq_parts = []
+            elif line:
+                seq_parts.append(line)
+        if header is not None:
+            records.append(_finish_edge(header, seq_parts, k))
+    return records
+
+
+def _finish_edge(header: str, seq_parts: List[str], k: int):
+    # >length L,<from>,<to>,cvg C, B
+    body = header[1:]
+    fields = body.split(",")
+    length = int(fields[0].split()[1])
+    from_k = fields[1].strip()
+    cvg = int(fields[3].split()[1])
+    bal = int(fields[4].strip())
+    seq = from_k + "".join(seq_parts)
+    return (length, seq, cvg, bal)
+
+
+def write_pre_arcs(prefix: str, keys: np.ndarray, mult: np.ndarray) -> None:
+    """keys: (N,2) [from,to] sorted; mult: (N,). One line per from-edge."""
+    with open(prefix + ".preArc", "w") as fh:
+        i = 0
+        n = keys.shape[0]
+        while i < n:
+            f = int(keys[i, 0])
+            fh.write(f"{f}")
+            while i < n and int(keys[i, 0]) == f:
+                fh.write(f" {int(keys[i, 1])} {int(mult[i])}")
+                i += 1
+            fh.write("\n")
+
+
+def read_pre_arcs(prefix: str) -> Tuple[np.ndarray, np.ndarray]:
+    rows = []
+    with open(prefix + ".preArc") as fh:
+        for line in fh:
+            t = line.split()
+            if not t:
+                continue
+            f = int(t[0])
+            for j in range(1, len(t), 2):
+                rows.append((f, int(t[j]), int(t[j + 1])))
+    if not rows:
+        return np.zeros((0, 2), np.int64), np.zeros((0,), np.int64)
+    arr = np.array(rows, np.int64)
+    return arr[:, :2], arr[:, 2]
+
+
+def write_mark_on_edge(prefix: str, marker: np.ndarray) -> None:
+    with open(prefix + ".markOnEdge", "w") as fh:
+        for m in marker:
+            fh.write(f"{int(m)}\n")
+
+
+def write_pe_grads(
+    prefix: str, grads: Sequence, max_read_len: int, n_libs: Optional[int] = None
+) -> None:
+    """grads: PeGrad list sorted by insert size (prlHashReads.c:690-699)."""
+    with open(prefix + ".peGrads", "w") as fh:
+        fh.write(f"grads&num: {len(grads)}\t{max_read_len}\n")
+        for g in grads:
+            fh.write(
+                f"{g.insert_size}\t{g.end_read_id}\t{g.rank}\t{g.pair_num_cutoff}\n"
+            )
+
+
+def read_pe_grads(prefix: str):
+    from .reads import PeGrad
+
+    grads = []
+    with open(prefix + ".peGrads") as fh:
+        head = fh.readline().split()
+        max_read_len = int(head[1]) if len(head) > 1 else 0
+        for line in fh:
+            t = line.split()
+            if len(t) >= 4:
+                grads.append(
+                    PeGrad(int(t[0]), int(t[1]), int(t[2]), int(t[3]))
+                )
+    return grads, max_read_len
+
+
+def write_contigs(
+    prefix: str, contigs: Iterable[Tuple[int, str, float]], suffix: str = ".contig"
+) -> int:
+    """FASTA-ish contig file: '>id length X cvg_Y' header then sequence
+    (output_contig.c:147 writes '>%d length %d cvg_%.1f_tip_%d')."""
+    n = 0
+    with open(prefix + suffix, "w") as fh:
+        for cid, seq, cvg in contigs:
+            fh.write(f">{cid} length {len(seq)} cvg_{cvg:.1f}_tip_0\n")
+            for i in range(0, len(seq), 100):
+                fh.write(seq[i : i + 100] + "\n")
+            n += 1
+    return n
+
+
+def read_contigs(path: str) -> List[Tuple[int, str]]:
+    out = []
+    cid = None
+    parts: List[str] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if cid is not None:
+                    out.append((cid, "".join(parts)))
+                cid = int(line[1:].split()[0])
+                parts = []
+            elif line:
+                parts.append(line)
+    if cid is not None:
+        out.append((cid, "".join(parts)))
+    return out
+
+
+def write_fasta_generic(path: str, records: Iterable[Tuple[str, str]]) -> None:
+    with open(path, "w") as fh:
+        for name, seq in records:
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), 100):
+                fh.write(seq[i : i + 100] + "\n")

@@ -1,0 +1,420 @@
+"""Contig stage: edge-graph cleaning, bubble popping, linearization.
+
+Host-side counterpart of standardPregraph/contig.c ``call_heavygraph:61``
+over the (small) edge graph, per the design split: device kernels produce
+the k-mer graph and bulk link data; the contig-graph decision passes run
+host-side (SURVEY.md section 7, translation principle 3).
+
+Reference semantics implemented:
+  removeWeakEdges   (cutTip_graph.c:140)  short inner edges, single weak
+                                          arc on both sides, to fixpoint
+  removeLowCovEdges (cutTip_graph.c:222)  short low-cvg inner edges
+  cutTipsInGraph    (cutTip_graph.c:526)  unreliable-tip walk, fixpoint
+  linearConcatenate (concatenateEdge.c:264) 1-in/1-out chain merge
+  bubblePinch       (bubble.c:2389)       simplified tour-bus: parallel
+                                          single-edge paths merged when
+                                          sequences align >= 0.9
+The directed-edge + twin representation matches the reference's in-memory
+edge_array/bal_edge model after loadEdge (loadPreGraph.c:448).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils import simulate as sim_utils
+from . import edges as edge_mod
+from . import pregraph as pg
+
+log = logging.getLogger("soapdenovo2_tpu.contig")
+
+_BASE_CHARS = np.frombuffer(b"ACGT", np.uint8)
+
+
+@dataclasses.dataclass
+class ContigGraph:
+    """Directed edges with twins + arcs (host representation)."""
+
+    k: int
+    seqs: List[np.ndarray]  # per-edge full base codes (uint8, len >= k)
+    cvg10: np.ndarray  # (E,) int32
+    twin: np.ndarray  # (E,) int32
+    deleted: np.ndarray  # (E,) bool
+    # arcs in dict-of-dicts: arcs[e] = {to: mult}
+    arcs: List[Dict[int, int]]
+    marker: Optional[np.ndarray] = None  # markOnEdge counts
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.seqs)
+
+    def edge_len(self, e: int) -> int:
+        """Reference edge->length: bases beyond the first (k-1)... the
+        reference counts bases beyond the first k-mer; full seq = len+k."""
+        return len(self.seqs[e]) - self.k
+
+    def seq_str(self, e: int) -> str:
+        return self.seqs[e].tobytes().translate(
+            bytes.maketrans(bytes(range(4)), b"ACGT")
+        ).decode()
+
+    def in_arcs(self, e: int) -> Dict[int, int]:
+        """Incoming arcs of e = arcs of twin(e), mirrored."""
+        return self.arcs[self.twin[e]]
+
+    def live_arcs(self, e: int) -> List[Tuple[int, int]]:
+        return [
+            (t, m) for t, m in self.arcs[e].items() if not self.deleted[t]
+        ]
+
+    def destroy_edge(self, e: int) -> None:
+        """destroyEdge (cutTip_graph.c:43): delete an edge and its twin."""
+        self.deleted[e] = True
+        self.deleted[self.twin[e]] = True
+
+
+def from_pregraph(pre: pg.PregraphResult) -> ContigGraph:
+    eg = pre.edges
+    seqs = []
+    for e in range(eg.n_edges):
+        head = _kmer_codes(eg.first_kmer[e], eg.k)
+        tail = eg.seq_bases[eg.seq_off[e] : eg.seq_off[e + 1]]
+        seqs.append(np.concatenate([head, tail]).astype(np.uint8))
+    arcs: List[Dict[int, int]] = [dict() for _ in range(eg.n_edges)]
+    n = int(pre.arcs.n)
+    keys = np.asarray(pre.arcs.keys)[:n].astype(np.int64)
+    mult = np.asarray(pre.arcs.mult)[:n]
+    for (f, t), m in zip(keys, mult):
+        if f < eg.n_edges and t < eg.n_edges:
+            arcs[int(f)][int(t)] = int(m)
+    return ContigGraph(
+        k=eg.k,
+        seqs=seqs,
+        cvg10=eg.cvg10.copy(),
+        twin=eg.twin.copy(),
+        deleted=np.zeros((eg.n_edges,), bool),
+        arcs=arcs,
+        marker=pre.marker_on_edge.copy() if pre.marker_on_edge is not None else None,
+    )
+
+
+def _kmer_codes(words: np.ndarray, k: int) -> np.ndarray:
+    from ..ops import kmer as kops
+
+    s = kops.kmer_to_string(words, k)
+    return kops.codes_from_ascii(np.frombuffer(s.encode(), np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# cleaning passes
+# ---------------------------------------------------------------------------
+
+
+def remove_weak_edges(g: ContigGraph, len_cutoff: int, multi_cutoff: int = 1) -> int:
+    """cutTip_graph.c:140 — to fixpoint."""
+    total = 0
+    changed = True
+    while changed:
+        changed = False
+        for e in range(g.n_edges):
+            if g.deleted[e] or g.edge_len(e) == 0 or g.edge_len(e) > len_cutoff:
+                continue
+            if g.twin[e] == e:
+                continue
+            right = g.live_arcs(e)
+            if len(right) != 1 or right[0][1] > multi_cutoff:
+                continue
+            left = g.live_arcs(g.twin[e])
+            if len(left) != 1 or left[0][1] > multi_cutoff:
+                continue
+            g.destroy_edge(e)
+            total += 1
+            changed = True
+    return total
+
+
+def remove_low_cov_edges(g: ContigGraph, len_cutoff: int, cov_cutoff: int) -> int:
+    """cutTip_graph.c:222 — single pass over short low-coverage inner edges."""
+    n = 0
+    for e in range(g.n_edges):
+        if (
+            g.deleted[e]
+            or g.cvg10[e] == 0
+            or g.cvg10[e] > cov_cutoff * 10
+            or g.edge_len(e) >= len_cutoff
+            or g.twin[e] == e
+            or g.edge_len(e) == 0
+        ):
+            continue
+        if not g.live_arcs(e) or not g.live_arcs(g.twin[e]):
+            continue
+        g.destroy_edge(e)
+        n += 1
+    return n
+
+
+def _is_unreliable_tip(g: ContigGraph, e: int, cut_len: int) -> bool:
+    """isUnreliableTip (cutTip_graph.c:280), non-strict variant."""
+    if g.deleted[e] or g.twin[e] == e:
+        return False
+    if g.live_arcs(g.twin[e]):
+        return False  # has incoming arcs: not a dangling start
+    cur = e
+    length = 0
+    active_mult = 0
+    left_n = 0
+    guard = 0
+    while cur >= 0:
+        guard += 1
+        if guard > g.n_edges + 2:
+            return False
+        left = g.live_arcs(g.twin[cur])
+        right = g.live_arcs(cur)
+        left_n = len(left)
+        if left_n > 1 or len(right) > 1:
+            break
+        length += g.edge_len(cur)
+        if right:
+            active_mult = right[0][1]
+            cur = right[0][0]
+        else:
+            cur = -1
+    if length >= cut_len:
+        return False
+    if cur < 0:
+        return True  # dangling chain shorter than cut_len
+    # non-strict: attachment edge's length may absorb the tip
+    if left_n < 2:
+        length += g.edge_len(cur)
+        return length < cut_len
+    if active_mult == 1:
+        return True
+    max_mult = max((m for _, m in g.live_arcs(g.twin[cur])), default=0)
+    return max_mult > active_mult
+
+
+def cut_tips_in_graph(g: ContigGraph, cut_len: int = 0) -> int:
+    """cutTipsInGraph (cutTip_graph.c:526) to fixpoint."""
+    if not cut_len:
+        cut_len = 2 * g.k
+    total = 0
+    changed = True
+    while changed:
+        changed = False
+        for e in range(g.n_edges):
+            if g.deleted[e]:
+                continue
+            if _is_unreliable_tip(g, e, cut_len):
+                g.destroy_edge(e)
+                total += 1
+                changed = True
+    return total
+
+
+# ---------------------------------------------------------------------------
+# bubble popping (simplified tour-bus)
+# ---------------------------------------------------------------------------
+
+
+def _seq_similarity(a: np.ndarray, b: np.ndarray, band: int = 16) -> float:
+    """Banded edit-distance similarity (bubble.c compareSequences:509)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > band:
+        return 0.0
+    big = 1 << 20
+    prev = np.full((lb + 1,), big, np.int32)
+    width = band
+    prev[: width + 1] = np.arange(min(width + 1, lb + 1))
+    for i in range(1, la + 1):
+        cur = np.full((lb + 1,), big, np.int32)
+        j_lo = max(1, i - width)
+        j_hi = min(lb, i + width)
+        if i <= width:
+            cur[0] = i
+        sub = prev[j_lo - 1 : j_hi] + (a[i - 1] != b[j_lo - 1 : j_hi])
+        dele = prev[j_lo : j_hi + 1] + 1
+        cur[j_lo : j_hi + 1] = np.minimum(sub, dele)
+        # insertion needs a serial scan within the band
+        for j in range(j_lo, j_hi + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    d = int(prev[lb])
+    return 1.0 - d / max(la, lb)
+
+
+def bubble_pinch(g: ContigGraph, similarity: float = 0.90,
+                 max_node_len: Optional[int] = None) -> int:
+    """Merge simple 2-path bubbles: pairs of parallel edges with the same
+    predecessor and successor whose sequences align above ``similarity``.
+    The lower-coverage path is deleted and its weight folded into the
+    survivor (simplified bubble.c tour-bus; full path-bubbles in a later
+    iteration)."""
+    if max_node_len is None:
+        max_node_len = 6 * g.k
+    merged = 0
+    # group edges by (pred, succ)
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for e in range(g.n_edges):
+        if g.deleted[e] or g.twin[e] == e:
+            continue
+        right = g.live_arcs(e)
+        left = g.live_arcs(g.twin[e])
+        if len(right) != 1 or len(left) != 1:
+            continue
+        if g.edge_len(e) > max_node_len:
+            continue
+        pred = g.twin[left[0][0]]  # actual predecessor edge
+        succ = right[0][0]
+        groups.setdefault((int(pred), int(succ)), []).append(e)
+    for (pred, succ), members in groups.items():
+        if len(members) < 2:
+            continue
+        members = [e for e in members if not g.deleted[e]]
+        members.sort(key=lambda e: (-int(g.cvg10[e]), e))
+        keep = members[0]
+        for e in members[1:]:
+            if g.deleted[e] or g.deleted[keep]:
+                continue
+            if e == g.twin[keep]:
+                continue
+            sim = _seq_similarity(g.seqs[keep], g.seqs[e])
+            if sim >= similarity:
+                # fold coverage into the survivor (cleanUpRedundancy merges
+                # read intervals; we approximate by coverage addition)
+                lk, le = len(g.seqs[keep]), len(g.seqs[e])
+                g.cvg10[keep] = min(
+                    16000,
+                    int((g.cvg10[keep] * lk + g.cvg10[e] * le) / max(lk, 1)),
+                )
+                g.cvg10[g.twin[keep]] = g.cvg10[keep]
+                g.destroy_edge(e)
+                merged += 1
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# linearization
+# ---------------------------------------------------------------------------
+
+
+def linear_concatenate(g: ContigGraph) -> int:
+    """concatenateEdge.c linearConcatenate:264 — merge unique-successor
+    chains.  Returns number of merges."""
+    merged = 0
+    changed = True
+    while changed:
+        changed = False
+        for e in range(g.n_edges):
+            if g.deleted[e]:
+                continue
+            right = g.live_arcs(e)
+            if len(right) != 1:
+                continue
+            nxt = right[0][0]
+            if nxt == e or nxt == g.twin[e] or g.deleted[nxt]:
+                continue
+            left_of_next = g.live_arcs(g.twin[nxt])
+            if len(left_of_next) != 1:
+                continue
+            # sanity: sequences must overlap by k (shared junction k-mer)
+            if not np.array_equal(g.seqs[e][-g.k :], g.seqs[nxt][: g.k]):
+                continue
+            _merge_pair(g, e, nxt)
+            merged += 1
+            changed = True
+    return merged
+
+
+def _merge_pair(g: ContigGraph, e1: int, e2: int) -> None:
+    """Merge e2 into e1 (and mirror on twins)."""
+    t1, t2 = int(g.twin[e1]), int(g.twin[e2])
+    l1, l2 = g.edge_len(e1), g.edge_len(e2)
+    new_seq = np.concatenate([g.seqs[e1], g.seqs[e2][g.k :]])
+    if l1 + l2 > 0:
+        cvg = (g.cvg10[e1] * l1 + g.cvg10[e2] * l2) // max(l1 + l2, 1)
+    else:
+        cvg = g.cvg10[e1]
+    g.seqs[e1] = new_seq
+    g.seqs[t1] = np.concatenate([g.seqs[t2], g.seqs[t1][g.k :]])
+    g.cvg10[e1] = g.cvg10[t1] = cvg
+    # outgoing arcs of the merged edge = e2's; e1's old arc to e2 is dropped.
+    g.arcs[e1] = g.arcs[e2]
+    g.arcs[e2] = {}
+    g.arcs[t2] = {}
+    # mirrored arcs of e2's successors pointed at t2; retarget them to t1
+    # (concatenateEdge.c: parc->bal_arc->to_ed = bal_ed)
+    for s in list(g.arcs[e1].keys()):
+        d = g.arcs[int(g.twin[s])]
+        if t2 in d:
+            d[t1] = d.get(t1, 0) + d.pop(t2)
+    g.deleted[e2] = True
+    g.deleted[t2] = True
+    if g.marker is not None:
+        g.marker[e1] = min(255, int(g.marker[e1]) + int(g.marker[e2]))
+        g.marker[t1] = g.marker[e1]
+
+
+# ---------------------------------------------------------------------------
+# stage driver + output
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ContigResult:
+    graph: ContigGraph
+    stats: dict
+
+
+def run_contig(
+    pre: pg.PregraphResult,
+    merge_bubbles: bool = True,
+    de_low_edge: int = 1,
+    progress: bool = True,
+) -> ContigResult:
+    g = from_pregraph(pre)
+    k = g.k
+    n_weak = remove_weak_edges(g, 2 * k, 1)
+    n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0
+    linear_concatenate(g)
+    n_bub = bubble_pinch(g) if merge_bubbles else 0
+    linear_concatenate(g)
+    n_tip = cut_tips_in_graph(g)
+    linear_concatenate(g)
+    contigs = contig_sequences(g)
+    stats = sim_utils.assembly_stats([s for _, s, _ in contigs])
+    stats.update(
+        weak_removed=n_weak, lowcov_removed=n_low, bubbles=n_bub, tips=n_tip
+    )
+    if progress:
+        log.info("contig: %s", stats)
+    return ContigResult(graph=g, stats=stats)
+
+
+def contig_sequences(g: ContigGraph, min_len: int = 0) -> List[Tuple[int, str, float]]:
+    """One record per undirected live edge: (id, seq, cvg).  Of each twin
+    pair, the direction with the lexicographically smaller sequence is
+    emitted (deterministic tiebreak; the reference's choice is
+    thread-order dependent)."""
+    out = []
+    cid = 0
+    for e in range(g.n_edges):
+        if g.deleted[e]:
+            continue
+        t = int(g.twin[e])
+        if t < e and not g.deleted[t]:
+            continue  # emitted via its twin
+        s = g.seq_str(e)
+        if t != e and not g.deleted[t]:
+            s2 = g.seq_str(t)
+            if s2 < s:
+                s = s2
+        if len(s) < min_len:
+            continue
+        cid += 1
+        out.append((cid, s, g.cvg10[e] / 10.0))
+    return out

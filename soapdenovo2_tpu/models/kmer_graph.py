@@ -1,0 +1,337 @@
+"""The de Bruijn k-mer graph as flat device arrays + masked vector passes.
+
+Replaces the reference's per-thread KmerSet hash tables with their
+linear/deleted/single flag bits (standardPregraph/inc/newhash.h:90-103) and
+the serial pruning passes of prlHashReads.c (``deLowCov:998``,
+``Mark1in1outNode:1079``) and cutTipPreGraph.c (``removeSingleTips:363``,
+``removeMinorTips:414``, ``clipTipFromNode:42``).
+
+Graph state:
+  keys    (C, W) uint32  sorted canonical k-mers (sentinel tail)
+  covs    (C, 9) uint16  left cov x4 (cap 63), right cov x4 (cap 63),
+                          total count (cap 255)
+  n       scalar          live entries
+  deleted (C,) bool
+  linear  (C,) bool       in-degree == 1 and out-degree == 1
+
+Degrees are counted exactly as the reference does — the number of bases
+with a non-zero directional coverage (newhash.c ``count_branch2prev:625``)
+— so pruning decisions match the capped-counter semantics bit for bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import chains as chain_ops
+from ..ops import kmer as kops
+from ..ops import sortcount as sc
+
+
+class PreGraph(NamedTuple):
+    keys: jax.Array  # (C, W) uint32
+    covs: jax.Array  # (C, 9) uint16
+    n: jax.Array  # scalar int32
+    deleted: jax.Array  # (C,) bool
+    linear: jax.Array  # (C,) bool
+
+
+def from_table(table: sc.KmerTable) -> PreGraph:
+    c = table.keys.shape[0]
+    live = jnp.arange(c, dtype=jnp.int32) < table.n
+    return PreGraph(
+        keys=table.keys,
+        covs=table.covs,
+        n=table.n,
+        deleted=~live,
+        linear=jnp.zeros((c,), bool),
+    )
+
+
+def degrees(covs) -> Tuple[jax.Array, jax.Array]:
+    """(in_deg, out_deg) = #bases with cov>0 per side (count_branch2prev/next)."""
+    l = covs[:, 0:4] > 0
+    r = covs[:, 4:8] > 0
+    return jnp.sum(l, axis=1).astype(jnp.int32), jnp.sum(r, axis=1).astype(jnp.int32)
+
+
+@jax.jit
+def de_low_cov(g: PreGraph, d: jax.Array) -> PreGraph:
+    """-d pruning: zero directional covs <= d; delete nodes with no links
+    left (prlHashReads.c ``thread_delow:953``).  Link covs are symmetric on
+    both incident nodes, so no dislink pass is needed."""
+    dircovs = g.covs[:, :8].astype(jnp.int32)
+    dircovs = jnp.where((dircovs > 0) & (dircovs <= d), 0, dircovs)
+    covs = g.covs.at[:, :8].set(dircovs.astype(jnp.uint16))
+    dead = (jnp.sum(dircovs, axis=1) == 0) | g.deleted
+    covs = jnp.where(dead[:, None], 0, covs)
+    return g._replace(covs=covs, deleted=dead)
+
+
+@jax.jit
+def mark_linear(g: PreGraph) -> PreGraph:
+    ind, outd = degrees(g.covs)
+    lin = (~g.deleted) & (ind == 1) & (outd == 1)
+    return g._replace(linear=lin)
+
+
+def kmer_freq_hist(g: PreGraph) -> jax.Array:
+    """255-bin total-coverage histogram (*.kmerFreq; prlHashReads.c:1104)."""
+    tot = jnp.clip(g.covs[:, 8].astype(jnp.int32), 0, 255)
+    tot = jnp.where(g.deleted, 0, tot)
+    return jnp.bincount(tot, length=256)[1:256]
+
+
+# ---------------------------------------------------------------------------
+# State-graph adjacency
+# ---------------------------------------------------------------------------
+
+
+def oriented_kmer(keys, idx, orient, k: int):
+    """K-mer of state (idx, orient): canonical words or their revcomp."""
+    words = keys[idx]
+    rc = kops.reverse_complement(words, k)
+    return jnp.where(orient[..., None].astype(bool), rc, words)
+
+
+def next_of(g: PreGraph, idx, orient, base, k: int):
+    """Follow one de Bruijn step from state (idx, orient) via exit base.
+
+    Returns (j, oj): target node index (-1 if absent/deleted) and its
+    traversal orientation.  This is the vectorized form of the reference's
+    nextKmer + reverseComplement + search_kmerset idiom (repeated all over
+    cutTipPreGraph.c / node2edge.c).
+    """
+    cur = oriented_kmer(g.keys, idx, orient, k)
+    nxt = kops.shift_left_append(cur, base, k)
+    rc = kops.reverse_complement(nxt, k)
+    canon, is_rc = kops.canonical(nxt, rc)
+    j = sc.lookup_kmers(g.keys, canon)
+    j = jnp.where((j >= 0) & ~g.deleted[jnp.maximum(j, 0)], j, -1)
+    oj = is_rc.astype(jnp.int32)  # canonical != traversal kmer => flipped
+    return j, oj
+
+
+def _unique_base(covs4):
+    """argmax base among covs (valid only when exactly one is non-zero)."""
+    return jnp.argmax(covs4, axis=-1).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def linear_next_states(g: PreGraph, k: int):
+    """(S,) successor state for each state of a linear node (-1 otherwise),
+    plus the exit base per state.  S = 2*C."""
+    c = g.keys.shape[0]
+    covs = g.covs.astype(jnp.int32)
+    right_b = _unique_base(covs[:, 4:8])  # exit base, orientation 0
+    left_b = _unique_base(covs[:, 0:4])
+    exit0 = right_b
+    exit1 = (3 - left_b) & 3  # orientation 1 exits via comp(left base)
+
+    idx = jnp.arange(c, dtype=jnp.int32)
+    j0, o0 = next_of(g, idx, jnp.zeros((c,), jnp.int32), exit0, k)
+    j1, o1 = next_of(g, idx, jnp.ones((c,), jnp.int32), exit1, k)
+
+    lin = g.linear
+    s0 = jnp.where(lin & (j0 >= 0), j0 * 2 + o0, -1)
+    s1 = jnp.where(lin & (j1 >= 0), j1 * 2 + o1, -1)
+    nxt = jnp.stack([s0, s1], axis=1).reshape(-1)
+    exit_base = jnp.stack([exit0, exit1], axis=1).reshape(-1).astype(jnp.uint8)
+    return nxt, exit_base
+
+
+def label_linear_chains(g: PreGraph, k: int, chain_mask=None):
+    """Chain labels over states of ``chain_mask`` nodes (default: linear)."""
+    nxt, exit_base = linear_next_states(g, k)
+    mask = g.linear if chain_mask is None else chain_mask
+    on_chain = jnp.repeat(mask & ~g.deleted, 2)
+    nxt = jnp.where(on_chain, nxt, -1)
+    labels = chain_ops.label_chains(on_chain, nxt)
+    return labels, exit_base
+
+
+# ---------------------------------------------------------------------------
+# Tip clipping
+# ---------------------------------------------------------------------------
+
+
+def _dead_end_starts(g: PreGraph):
+    """Tip start nodes and their single exit, as states.
+
+    clipTipFromNode:67-100: (in==0, out==1) walks right in canonical
+    orientation; (in==1, out==0) walks left, i.e. orientation 1.
+    Returns (is_start [C], start_state [C], exit_base [C]).
+    """
+    covs = g.covs.astype(jnp.int32)
+    ind, outd = degrees(g.covs)
+    fwd = (ind == 0) & (outd == 1)
+    bwd = (ind == 1) & (outd == 0)
+    is_start = (~g.deleted) & (~g.linear) & (fwd | bwd)
+    orient = jnp.where(fwd, 0, 1).astype(jnp.int32)
+    base = jnp.where(
+        fwd, _unique_base(covs[:, 4:8]), (3 - _unique_base(covs[:, 0:4])) & 3
+    )
+    return is_start, orient, base.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "thin"))
+def _clip_tips_once(g: PreGraph, k: int, thin: bool):
+    """One simultaneous tip-clipping sweep.  Returns (g', n_clipped)."""
+    c = g.keys.shape[0]
+    cut_len = 2 * k
+    covs = jnp.asarray(g.covs, jnp.int32)
+
+    single = covs[:, 8] == 1
+    if thin:
+        chain_mask = g.linear & single
+    else:
+        chain_mask = g.linear
+    labels, _ = label_linear_chains(g, k, chain_mask=chain_mask)
+
+    is_start, orient, base = _dead_end_starts(g)
+    if thin:
+        is_start = is_start & single
+    idx = jnp.arange(c, dtype=jnp.int32)
+    j, oj = next_of(g, idx, orient, base, k)
+    j_safe = jnp.maximum(j, 0)
+    first_state = j * 2 + oj
+
+    on_chain = labels.on_chain[jnp.maximum(first_state, 0)] & (j >= 0)
+    head = jnp.where(on_chain, labels.head[jnp.maximum(first_state, 0)], -1)
+    head_safe = jnp.maximum(head, 0)
+    chain_len = jnp.where(on_chain, labels.length[head_safe], 0)
+    # out_node state: chain attach, or the first hop if it isn't on a chain
+    attach = jnp.where(on_chain, labels.attach[head_safe], first_state)
+    count = 1 + chain_len
+
+    has_attach = attach >= 0
+    attach_safe = jnp.maximum(attach, 0)
+    out_node = attach_safe >> 1
+    out_orient = attach_safe & 1
+
+    clippable = is_start & (j >= 0) & (count <= cut_len) & has_attach
+
+    # base label of the link as seen from out_node: first char of the
+    # previous oriented k-mer in the walk (clipTipFromNode ``ch``).
+    # The previous k-mer's first base == the base that out_node sees on the
+    # side it was entered from.  prev state: chain tail if chain else start.
+    # Instead of recovering the tail, use the de Bruijn identity: the first
+    # base of the previous k-mer is base (k-1) positions before out_node's
+    # first base along the walk — equivalently, out_node's oriented k-mer's
+    # first (k-1) bases are the previous k-mer's last (k-1), so the previous
+    # k-mer's FIRST base is not recoverable from out_node alone; recover it
+    # from the tail state directly below.
+    tail_rank = chain_len - 1
+    # tail state: the state in the chain with rank == len-1.  Scatter ranks:
+    tail_of_head = jnp.full((2 * c,), -1, jnp.int32)
+    sidx = jnp.arange(2 * c, dtype=jnp.int32)
+    is_tail = labels.on_chain & (labels.rank == labels.length[labels.head] - 1)
+    tail_of_head = tail_of_head.at[
+        jnp.where(is_tail, labels.head, 2 * c)
+    ].set(sidx, mode="drop")
+    tail_state = jnp.where(
+        on_chain, tail_of_head[head_safe], idx * 2 + orient
+    )  # if no chain, the 'previous' node is the tip start itself
+    tail_safe = jnp.maximum(tail_state, 0)
+    prev_kmer = oriented_kmer(g.keys, tail_safe >> 1, tail_safe & 1, k)
+    ch = kops.first_base(prev_kmer, k).astype(jnp.int32)  # 0..3
+
+    # out_node's link cov on the entered side, in out_node's canonical frame:
+    # orientation 0 (entered canonically) => left side, base ch
+    # orientation 1 => right side, base comp(ch)   (dislink2prevUncertain)
+    side_col = jnp.where(out_orient == 0, ch, 4 + (3 - ch))
+    link_cov = covs[out_node, side_col]
+    side_cols = jnp.where(out_orient[:, None] == 0, 0, 4) + jnp.arange(4)[None, :]
+    side_max = jnp.max(
+        jnp.take_along_axis(covs[out_node], side_cols, axis=1), axis=1
+    )
+
+    ind_o, outd_o = degrees(g.covs)
+    out_total_deg = ind_o[out_node] + outd_o[out_node]
+    whole = out_total_deg == 1  # the out_node's only link is the tip itself
+
+    if thin:
+        ok = clippable
+    else:
+        ok = clippable & (whole | (link_cov < side_max))
+
+    # --- apply ---
+    # delete tip start nodes
+    del_node = jnp.zeros((c,), bool).at[jnp.where(ok, idx, c)].set(True, mode="drop")
+    # delete chain interior nodes of clipped tips
+    clipped_head = jnp.zeros((2 * c,), bool)
+    clipped_head = clipped_head.at[
+        jnp.where(ok & on_chain, head_safe, 2 * c)
+    ].set(True, mode="drop")
+    member_clipped = labels.on_chain & clipped_head[jnp.maximum(labels.head, 0)]
+    del_node = del_node | jax.ops.segment_max(
+        member_clipped.astype(jnp.int32), sidx >> 1, num_segments=c
+    ).astype(bool)
+    # out_node handling: delete it too when it had no other link; else
+    # dislink the tip's cov entry and refresh its linear flag.
+    del_out = jnp.zeros((c,), bool).at[
+        jnp.where(ok & whole, out_node, c)
+    ].set(True, mode="drop")
+    del_node = del_node | del_out
+
+    covs_u = covs.at[
+        jnp.where(ok & ~whole, out_node, c), jnp.where(ok & ~whole, side_col, 0)
+    ].set(0, mode="drop")
+
+    deleted = g.deleted | del_node
+    covs_u = jnp.where(deleted[:, None], 0, covs_u)
+    g2 = g._replace(
+        covs=jnp.clip(covs_u, 0, 65535).astype(jnp.uint16), deleted=deleted
+    )
+    g2 = mark_linear(g2)
+    n_clipped = jnp.sum(ok.astype(jnp.int32))
+    return g2, n_clipped
+
+
+def remove_single_tips(g: PreGraph, k: int) -> Tuple[PreGraph, int]:
+    """Frequency-one tip removal (removeSingleTips, cutTipPreGraph.c:363)."""
+    g = mark_linear(g)
+    g, n = _clip_tips_once(g, k, thin=True)
+    return g, int(n)
+
+
+def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100) -> Tuple[PreGraph, int]:
+    """Minority-link tip removal to fixpoint (removeMinorTips:414)."""
+    g = mark_linear(g)
+    total = 0
+    for _ in range(max_rounds):
+        g, n = _clip_tips_once(g, k, thin=False)
+        n = int(n)
+        total += n
+        if n == 0:
+            break
+    return g, total
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def refresh_links(g: PreGraph, k: int) -> PreGraph:
+    """Zero directional covs whose neighbor k-mer no longer exists.
+
+    Vectorized analog of the reference's dislink-on-delete bookkeeping —
+    guarantees every cov>0 entry has a live neighbor before edge building.
+    """
+    c = g.keys.shape[0]
+    idx = jnp.arange(c, dtype=jnp.int32)
+    covs = g.covs.astype(jnp.int32)
+    for b in range(4):
+        # right link, orientation 0, exit base b
+        j, _ = next_of(g, idx, jnp.zeros((c,), jnp.int32), jnp.full((c,), b, jnp.uint32), k)
+        covs = covs.at[:, 4 + b].set(jnp.where(j >= 0, covs[:, 4 + b], 0))
+        # left link: orientation 1 exit base comp(b) reaches the left
+        # neighbor of base b
+        j2, _ = next_of(
+            g, idx, jnp.ones((c,), jnp.int32), jnp.full((c,), (3 - b) & 3, jnp.uint32), k
+        )
+        covs = covs.at[:, b].set(jnp.where(j2 >= 0, covs[:, b], 0))
+    covs = jnp.where(g.deleted[:, None], 0, covs)
+    g2 = g._replace(covs=covs.astype(jnp.uint16))
+    return mark_linear(g2)

@@ -1,0 +1,375 @@
+"""Pregraph stage: reads -> k-mer table -> pruned graph -> edges -> preArcs.
+
+TPU-native counterpart of standardPregraph/pregraph.c ``call_pregraph:62``
+and the two full read streams that dominate its runtime
+(prlHashReads.c ``prlRead2HashTable:304`` — the count pass — and
+prlRead2path.c ``prlRead2edge:786`` — the arc pass).  Each stream is:
+host decode -> (B, L) uint8 code batches -> device rolling k-mer
+extraction -> sort/segment-reduce -> merge, with the table capacity grown
+in powers of two (recompiles amortize out).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AssemblyConfig
+from ..io import reads as rio
+from ..ops import kmer as kops
+from ..ops import sortcount as sc
+from . import edges as edge_mod
+from . import kmer_graph as kg
+
+log = logging.getLogger("soapdenovo2_tpu.pregraph")
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(10, (x - 1).bit_length())
+
+
+def count_reads_to_table(
+    batches: Iterable[rio.ReadBatch],
+    k: int,
+    max_len: int,
+    init_capacity: int = 1 << 20,
+) -> Tuple[sc.KmerTable, int]:
+    """Stream read batches into a merged, sorted k-mer table.
+
+    Returns (table, n_reads).  The device pipeline per batch is
+    extract -> flatten -> batch-local sort/count -> merge into the running
+    table; capacity doubles (host-side realloc + recompile) when the merge
+    would overflow.
+    """
+    kops.validate_k(k)
+    table = sc.empty_table(init_capacity, k)
+    capacity = init_capacity
+    n_reads = 0
+
+    @jax.jit
+    def batch_table(codes, lengths):
+        out = kops.extract_kmers(codes, lengths, k)
+        b, p, w = out["words"].shape
+        words = out["words"].reshape(b * p, w)
+        valid = out["valid"].reshape(b * p)
+        left = out["left"].reshape(b * p)
+        right = out["right"].reshape(b * p)
+        return sc.count_batch(words, valid, left, right, b * p)
+
+    for batch in batches:
+        n_reads += batch.n
+        bt = batch_table(jnp.asarray(batch.codes), jnp.asarray(batch.lengths))
+        need = int(table.n) + int(bt.n)
+        if need > capacity:
+            capacity = _next_pow2(need * 2)
+            grown = sc.empty_table(capacity, k)
+            grown = grown._replace(
+                keys=grown.keys.at[: table.keys.shape[0]].set(table.keys),
+                covs=grown.covs.at[: table.covs.shape[0]].set(table.covs),
+                n=table.n,
+            )
+            table = grown
+        table = sc.merge_tables(table, bt, capacity)
+    return table, n_reads
+
+
+def shrink_table(table: sc.KmerTable, k: int) -> sc.KmerTable:
+    """Trim capacity to the next power of two above the live count."""
+    n = int(table.n)
+    cap = _next_pow2(n + 1)
+    if cap >= table.keys.shape[0]:
+        return table
+    return sc.KmerTable(
+        keys=table.keys[:cap], covs=table.covs[:cap], n=table.n
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arc pass: read -> edge paths -> preArcs
+# ---------------------------------------------------------------------------
+
+
+def _last_seen_scan(hits):
+    """Per row: value of the last non-negative entry strictly before p."""
+    def combine(a, b):
+        return jnp.where(b >= 0, b, a)
+
+    prev = jax.lax.associative_scan(combine, hits, axis=1)
+    # shift right by one: position p sees the scan up to p-1
+    shifted = jnp.concatenate(
+        [jnp.full_like(prev[:, :1], -1), prev[:, :-1]], axis=1
+    )
+    return shifted
+
+
+@dataclasses.dataclass
+class ArcAccumulator:
+    """Sorted (from_edge, to_edge) -> multiplicity table built by merges.
+
+    Replaces the reference's per-thread preArc memory managers + lookup
+    lists (prlRead2path.c ``thread_add1preArc:388``) with sort/segment
+    reduction over packed 2-word keys.
+    """
+
+    keys: jax.Array  # (C, 2) uint32 — [from, to], sentinel tail
+    mult: jax.Array  # (C,) int32
+    n: jax.Array
+
+    @staticmethod
+    def empty(capacity: int = 1 << 16) -> "ArcAccumulator":
+        return ArcAccumulator(
+            keys=jnp.full((capacity, 2), 0xFFFFFFFF, jnp.uint32),
+            mult=jnp.zeros((capacity,), jnp.int32),
+            n=jnp.zeros((), jnp.int32),
+        )
+
+    def add_pairs(self, from_e, to_e, valid) -> "ArcAccumulator":
+        n = from_e.shape[0]
+        keys = jnp.stack(
+            [
+                jnp.where(valid, from_e, -1).astype(jnp.uint32),
+                jnp.where(valid, to_e, -1).astype(jnp.uint32),
+            ],
+            axis=1,
+        )
+        sk, perm = sc.argsort_kmers(keys)
+        seg, _ = sc._segment_ids(sk)
+        cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg, num_segments=n)
+        ukeys = jnp.full((n, 2), 0xFFFFFFFF, jnp.uint32).at[seg].set(sk, mode="drop")
+        n_groups = seg[-1] + 1
+        has_sent = jnp.all(sk[-1] == jnp.uint32(0xFFFFFFFF))
+        n_live = jnp.where(has_sent, n_groups - 1, n_groups)
+        live = jnp.arange(n) < n_live
+        ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+        cnt = jnp.where(live, cnt, 0)
+        batch = ArcAccumulator(keys=ukeys, mult=cnt, n=n_live.astype(jnp.int32))
+        return self.merge(batch)
+
+    def merge(self, other: "ArcAccumulator") -> "ArcAccumulator":
+        need = int(self.n) + int(other.n)
+        cap = self.keys.shape[0]
+        while need > cap:
+            cap *= 2
+        if cap != self.keys.shape[0]:
+            grown = ArcAccumulator.empty(cap)
+            grown = dataclasses.replace(
+                grown,
+                keys=grown.keys.at[: self.keys.shape[0]].set(self.keys),
+                mult=grown.mult.at[: self.mult.shape[0]].set(self.mult),
+                n=self.n,
+            )
+            self = grown
+        return _merge_arcs(self, other, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _merge_arcs(a: ArcAccumulator, b: ArcAccumulator, capacity: int) -> ArcAccumulator:
+    keys = jnp.concatenate([a.keys, b.keys], axis=0)
+    mult = jnp.concatenate([a.mult, b.mult], axis=0)
+    sk, perm = sc.argsort_kmers(keys)
+    mult = mult[perm]
+    seg, _ = sc._segment_ids(sk)
+    total = jax.ops.segment_sum(mult, seg, num_segments=capacity)
+    ukeys = jnp.full((capacity, 2), 0xFFFFFFFF, jnp.uint32).at[seg].set(sk, mode="drop")
+    n_groups = seg[-1] + 1
+    has_sent = jnp.all(sk[-1] == jnp.uint32(0xFFFFFFFF))
+    n_live = jnp.where(has_sent, n_groups - 1, n_groups)
+    live = jnp.arange(capacity) < n_live
+    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+    total = jnp.where(live, total, 0)
+    return ArcAccumulator(keys=ukeys, mult=total, n=n_live.astype(jnp.int32))
+
+
+jax.tree_util.register_dataclass(
+    ArcAccumulator, data_fields=["keys", "mult", "n"], meta_fields=[]
+)
+
+
+def read_paths_batch(
+    codes,
+    lengths,
+    k: int,
+    table_keys,
+    state_edge,
+    state_rank,
+    patch_keys,
+    patch_edge,
+    patch_twin,
+):
+    """Map one read batch onto edges; emit per-position edge hits.
+
+    Returns hits (B, P) int32 edge ids (-1 = none), the vectorized analog
+    of prlRead2path.c ``searchKmer:348`` + ``parse1read`` + the
+    ``search1kmerPlus:550`` patch lookups.
+    """
+    out = kops.extract_kmers(codes, lengths, k)
+    idx = sc.lookup_kmers(table_keys, out["words"])  # (B, P)
+    orient = out["is_rc"].astype(jnp.int32)
+    state = jnp.where(idx >= 0, idx * 2 + orient, 0)
+    hit = jnp.where(
+        (idx >= 0) & out["valid"], state_edge[state], -1
+    )
+    if patch_keys.shape[0] > 0:
+        out1 = kops.extract_kmers(codes, lengths, k + 1)
+        pidx = sc.lookup_kmers(patch_keys, out1["words"])  # (B, P1)
+        p_or = out1["is_rc"]
+        p_hit = jnp.where(
+            (pidx >= 0) & out1["valid"],
+            jnp.where(p_or, patch_twin[jnp.maximum(pidx, 0)], patch_edge[jnp.maximum(pidx, 0)]),
+            -1,
+        )
+        # pad to P positions (P1 = P - 1)
+        pad = jnp.full((p_hit.shape[0], hit.shape[1] - p_hit.shape[1]), -1, jnp.int32)
+        p_hit = jnp.concatenate([p_hit, pad], axis=1)
+        hit = jnp.where(hit >= 0, hit, p_hit)
+    return hit
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _arc_pairs_from_batch(codes, lengths, k, table_keys, state_edge, state_rank,
+                          patch_keys, patch_edge, patch_twin):
+    hits = read_paths_batch(
+        codes, lengths, k, table_keys, state_edge, state_rank,
+        patch_keys, patch_edge, patch_twin,
+    )
+    prev = _last_seen_scan(hits)
+    is_arc = (hits >= 0) & (prev >= 0) & (hits != prev)
+    return prev.reshape(-1), hits.reshape(-1), is_arc.reshape(-1), hits
+
+
+def build_arcs(
+    batches: Iterable[rio.ReadBatch],
+    eg: edge_mod.EdgeGraph,
+    table: sc.KmerTable,
+    k: int,
+    record_paths: bool = False,
+) -> Tuple[ArcAccumulator, np.ndarray, Optional[List[np.ndarray]]]:
+    """Second read stream: accumulate preArcs (and optionally read paths).
+
+    Returns (arcs, marker_on_edge, paths).  ``marker_on_edge`` counts reads
+    whose collapsed path (>=3 edges) crosses each edge, capped at 255
+    (prlRead2path.c ``recordPathBin:482``).
+    """
+    arcs = ArcAccumulator.empty()
+    state_edge = jnp.asarray(eg.state_edge)
+    state_rank = jnp.asarray(eg.state_rank)
+    patch_keys = jnp.asarray(eg.patch_keys)
+    patch_edge = jnp.asarray(eg.patch_edge)
+    patch_twin = jnp.asarray(eg.patch_twin)
+    marker = np.zeros((eg.n_edges,), np.int32)
+    paths: Optional[List[np.ndarray]] = [] if record_paths else None
+
+    for batch in batches:
+        prev, hit, is_arc, hits2d = _arc_pairs_from_batch(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k,
+            table.keys, state_edge, state_rank,
+            patch_keys, patch_edge, patch_twin,
+        )
+        arcs = arcs.add_pairs(prev, hit, is_arc)
+        if record_paths:
+            h = np.asarray(hits2d)[: batch.n]
+            for row in h:
+                path = _collapse_path(row)
+                if len(path) >= 3:
+                    paths.append(path)
+                    marker[path] = np.minimum(marker[path] + 1, 255)
+    return arcs, marker, paths
+
+
+def _collapse_path(row: np.ndarray) -> np.ndarray:
+    row = row[row >= 0]
+    if row.size == 0:
+        return row
+    keep = np.ones(row.shape, bool)
+    keep[1:] = row[1:] != row[:-1]
+    return row[keep]
+
+
+# ---------------------------------------------------------------------------
+# Full stage driver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PregraphResult:
+    k: int
+    table: sc.KmerTable
+    graph: kg.PreGraph
+    edges: edge_mod.EdgeGraph
+    arcs: ArcAccumulator
+    marker_on_edge: np.ndarray
+    paths: Optional[List[np.ndarray]]
+    kmer_freq: np.ndarray
+    n_reads: int
+    max_read_len: int
+
+
+def run_pregraph(
+    cfg: AssemblyConfig,
+    k: int,
+    d_cutoff: int = 0,
+    record_paths: bool = False,
+    batch_size: int = 4096,
+    progress: bool = True,
+) -> PregraphResult:
+    """pregraph.c call_pregraph:62, end to end in memory."""
+    t0 = time.time()
+    max_len = cfg.max_rd_len
+
+    def read_stream():
+        for lib in cfg.libs_for_contig():
+            yield from rio.iter_lib_reads(lib)
+
+    table, n_reads = count_reads_to_table(
+        rio.batch_reads(read_stream(), batch_size, max_len), k, max_len
+    )
+    table = shrink_table(table, k)
+    if progress:
+        log.info(
+            "count pass: %d reads -> %d kmers (%.1fs)",
+            n_reads, int(table.n), time.time() - t0,
+        )
+
+    g = kg.from_table(table)
+    if d_cutoff > 0:
+        g = kg.de_low_cov(g, jnp.int32(d_cutoff))
+    g = kg.mark_linear(g)
+    freq = np.asarray(kg.kmer_freq_hist(g))
+
+    g, n_single = kg.remove_single_tips(g, k)
+    g, n_minor = kg.remove_minor_tips(g, k)
+    if progress:
+        log.info("tips: %d single, %d minor removed", n_single, n_minor)
+
+    eg = edge_mod.build_edges(g, k)
+    if progress:
+        log.info("edges: %d directed (%.1fs)", eg.n_edges, time.time() - t0)
+
+    arcs, marker, paths = build_arcs(
+        rio.batch_reads(read_stream(), batch_size, max_len),
+        eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
+        record_paths=record_paths,
+    )
+    if progress:
+        log.info(
+            "arc pass: %d preArcs (%.1fs)", int(arcs.n), time.time() - t0
+        )
+    return PregraphResult(
+        k=k,
+        table=table,
+        graph=g,
+        edges=eg,
+        arcs=arcs,
+        marker_on_edge=marker,
+        paths=paths,
+        kmer_freq=freq,
+        n_reads=n_reads,
+        max_read_len=max_len,
+    )

@@ -1,0 +1,128 @@
+"""Chain labeling by pointer doubling (parallel list ranking).
+
+The reference walks linear k-mer chains with stacks and pointer chasing
+(standardPregraph/node2edge.c ``stringBeads``/``make_edge``,
+cutTipPreGraph.c ``clipTipFromNode``).  The TPU-native equivalent labels
+ALL maximal chains at once: O(log n) rounds of gather ("pointer
+jumping"), each a dense vector pass.
+
+Works on a **state graph**: every graph node i yields two states
+``s = 2*i + o`` — o=0 traverses the node in its canonical orientation
+(exit through the right side), o=1 traverses the reverse complement
+(exit through the left side, complemented).  k odd means no k-mer is its
+own reverse complement, so orientation is unambiguous.  A maximal linear
+chain appears as two mirrored state-chains, which is exactly how the
+reference emits an edge and its twin.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ChainLabels(NamedTuple):
+    """Per-state chain labeling over S = 2*C states.
+
+    Only meaningful where ``on_chain`` is True.
+    """
+
+    on_chain: jax.Array  # (S,) bool — state participates in a chain
+    head: jax.Array  # (S,) int32 — head state id of this state's chain
+    rank: jax.Array  # (S,) int32 — distance from head (head = 0)
+    length: jax.Array  # (S,) int32 at head positions: #states in the chain
+    attach: jax.Array  # (S,) int32 at head positions: state after the tail
+    #                     (-1 if the chain dangles or is a cycle)
+    is_cycle: jax.Array  # (S,) bool — chain is an isolated cycle
+    is_head: jax.Array  # (S,) bool
+
+
+def _doubling_steps(s: int) -> int:
+    return max(1, (max(s, 2) - 1).bit_length()) + 1
+
+
+def label_chains(on_chain_state, nxt) -> ChainLabels:
+    """Label all maximal chains of the state graph.
+
+    Args:
+      on_chain_state: (S,) bool — states that belong to chainable nodes
+        (e.g. ``linear & ~deleted`` expanded to both orientations).
+      nxt: (S,) int32 — successor state of each chainable state, or -1.
+        Must be flip-symmetric: nxt[s^1] mirrors the predecessor of s.
+
+    Cycles (isolated circular chains) get an artificial head at their
+    minimum state id, mirroring nothing in the reference (it handles loops
+    ad hoc in make_edge) but giving deterministic circular-contig output.
+    """
+    S = nxt.shape[0]
+    steps = _doubling_steps(S)
+    sidx = jnp.arange(S, dtype=jnp.int32)
+
+    nxt_safe = jnp.where(nxt >= 0, nxt, 0)
+    nxt_on = (nxt >= 0) & on_chain_state[nxt_safe]
+    # predecessor state: mirror of the flipped state's successor
+    flip_nxt = nxt[sidx ^ 1]
+    flip_nxt_safe = jnp.where(flip_nxt >= 0, flip_nxt, 0)
+    prv = jnp.where(flip_nxt >= 0, flip_nxt_safe ^ 1, -1)
+    prv_on = (prv >= 0) & on_chain_state[jnp.where(prv >= 0, prv, 0)]
+
+    natural_head = on_chain_state & ~prv_on
+
+    # --- pass A: find cycles (states that never reach a natural head) and
+    # their minimum state id.
+    ptr = jnp.where(natural_head | ~on_chain_state, sidx, jnp.where(prv_on, prv, sidx))
+    mn = sidx
+
+    def body_a(_, st):
+        ptr, mn = st
+        mn = jnp.minimum(mn, mn[ptr])
+        ptr = ptr[ptr]
+        return ptr, mn
+
+    ptr, mn = jax.lax.fori_loop(0, steps, body_a, (ptr, mn))
+    reached_head = natural_head[ptr]
+    is_cycle = on_chain_state & ~reached_head
+    art_head = is_cycle & (sidx == mn)
+
+    # --- pass B: rank/label with heads (natural + artificial) cut.
+    is_head = natural_head | art_head
+    ptr = jnp.where(is_head | ~on_chain_state, sidx, jnp.where(prv_on, prv, sidx))
+    # artificial heads must not follow their prv (cut the cycle there)
+    rank = jnp.where(on_chain_state & ~is_head, 1, 0).astype(jnp.int32)
+
+    def body_b(_, st):
+        ptr, rank = st
+        rank = rank + rank[ptr]
+        ptr = ptr[ptr]
+        return ptr, rank
+
+    ptr, rank = jax.lax.fori_loop(0, steps, body_b, (ptr, rank))
+    head = jnp.where(on_chain_state, ptr, -1)
+
+    # chain length at head = number of member states
+    length = jax.ops.segment_sum(
+        on_chain_state.astype(jnp.int32),
+        jnp.where(on_chain_state, head, S - 1),
+        num_segments=S,
+    )
+    length = jnp.where(is_head, length[sidx], 0)
+
+    # attach: tail states are chain states whose nxt leaves the chain
+    is_tail = on_chain_state & ~nxt_on
+    attach = jnp.full((S,), -1, jnp.int32)
+    attach = attach.at[jnp.where(is_tail, head, S)].set(nxt, mode="drop")
+    # cycles have no tail; their attach stays -1
+    attach = jnp.where(is_head, attach, -1)
+    attach = jnp.where(is_cycle & is_head, -1, attach)
+
+    return ChainLabels(
+        on_chain=on_chain_state,
+        head=head,
+        rank=jnp.where(on_chain_state, rank, 0),
+        length=length,
+        attach=attach,
+        is_cycle=is_cycle,
+        is_head=is_head,
+    )

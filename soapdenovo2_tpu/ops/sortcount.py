@@ -1,0 +1,210 @@
+"""Sort-based k-mer counting and the sorted-table replacement for KmerSet.
+
+The reference stores k-mers in per-thread open-addressing hash tables
+(standardPregraph/newhash.c: ``put_kmerset:473`` increments 6-bit per-base
+left/right coverage capped at 63 and an 8-bit total).  On TPU, pointer-free
+and deterministic wins: the "hash table" is a **sorted flat array** of
+multiword keys plus a (C, 9) coverage matrix
+
+    cols 0..3 = left coverage per base (cap 63)
+    cols 4..7 = right coverage per base (cap 63)
+    col  8    = total occurrence count (cap 255)
+
+Counting = sort + segment-reduce; merging two tables = concat + sort +
+segment-reduce with saturating addition (identical semantics to repeated
+saturating +1 increments, hence bit-equal coverage values to the
+reference's capped counters).  Empty slots hold the all-ones sentinel and
+sort to the end, so a table of static capacity C with a dynamic fill count
+``n`` stays fully jit-compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import kmer as kops
+
+COV_CAPS = jnp.array([63, 63, 63, 63, 63, 63, 63, 63, 255], dtype=jnp.int32)
+N_COV = 9
+
+
+class KmerTable(NamedTuple):
+    """Sorted canonical-k-mer table (a pytree; capacity is static)."""
+
+    keys: jax.Array  # (C, W) uint32, sorted ascending; sentinel-filled tail
+    covs: jax.Array  # (C, N_COV) uint16
+    n: jax.Array  # scalar int32, number of live entries
+
+
+def empty_table(capacity: int, k: int) -> KmerTable:
+    w = kops.num_words(k)
+    return KmerTable(
+        keys=jnp.full((capacity, w), 0xFFFFFFFF, dtype=jnp.uint32),
+        covs=jnp.zeros((capacity, N_COV), dtype=jnp.uint16),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def argsort_kmers(words):
+    """Sort (N, W) multiword keys lexicographically; return (sorted, perm)."""
+    n, w = words.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    operands = tuple(words[:, i] for i in range(w)) + (iota,)
+    out = jax.lax.sort(operands, num_keys=w)
+    sorted_words = jnp.stack(out[:w], axis=-1)
+    return sorted_words, out[w]
+
+
+def _segment_ids(sorted_words):
+    """0-based group ids over a sorted key array + new-group mask."""
+    neq = jnp.any(sorted_words[1:] != sorted_words[:-1], axis=-1)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), neq])
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    return seg, is_new
+
+
+def _is_sentinel(words):
+    return jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
+
+
+def count_batch(words, valid, left, right, out_capacity: int):
+    """Collapse one extraction batch into a sorted unique table.
+
+    Args:
+      words: (N, W) canonical k-mers; valid: (N,) bool;
+      left/right: (N,) uint8 strand-adjusted flanking base codes (4 = none).
+      out_capacity: static output table capacity (>= N is always safe).
+
+    Returns a KmerTable of capacity ``out_capacity`` whose covs are the
+    *uncapped in-batch* sums clipped to the caps (saturating semantics).
+    """
+    n, w = words.shape
+    words = jnp.where(valid[:, None], words, jnp.uint32(0xFFFFFFFF))
+    sorted_words, perm = argsort_kmers(words)
+    left_s = left[perm]
+    right_s = right[perm]
+    seg, _ = _segment_ids(sorted_words)
+
+    num_seg = out_capacity
+    ones = jnp.ones((n,), jnp.int32)
+    total = jax.ops.segment_sum(ones, seg, num_segments=num_seg)
+    covs = [
+        jax.ops.segment_sum((left_s == c).astype(jnp.int32), seg, num_segments=num_seg)
+        for c in range(4)
+    ] + [
+        jax.ops.segment_sum((right_s == c).astype(jnp.int32), seg, num_segments=num_seg)
+        for c in range(4)
+    ]
+    covs.append(total)
+    covs = jnp.stack(covs, axis=-1)  # (C, 9)
+
+    ukeys = jnp.full((num_seg, w), 0xFFFFFFFF, jnp.uint32)
+    ukeys = ukeys.at[seg].set(sorted_words, mode="drop")
+
+    n_groups = seg[-1] + 1
+    has_sent = _is_sentinel(sorted_words[-1])
+    n_live = jnp.where(has_sent, n_groups - 1, n_groups)
+    # zero out the sentinel group's covs (it sits at index n_live)
+    idx = jnp.arange(num_seg, dtype=jnp.int32)
+    live = idx < n_live
+    covs = jnp.where(live[:, None], covs, 0)
+    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+    covs = jnp.minimum(covs, COV_CAPS[None, :]).astype(jnp.uint16)
+    return KmerTable(keys=ukeys, covs=covs, n=n_live.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
+    """Merge two sorted tables with saturating coverage addition.
+
+    min(cap, x + y) == the value after x+y capped unit increments, so the
+    merged table is identical to single-pass reference counting.
+    """
+    keys = jnp.concatenate([a.keys, b.keys], axis=0)
+    covs = jnp.concatenate(
+        [a.covs.astype(jnp.int32), b.covs.astype(jnp.int32)], axis=0
+    )
+    sorted_keys, perm = argsort_kmers(keys)
+    covs = covs[perm]
+    seg, _ = _segment_ids(sorted_keys)
+    num_seg = capacity
+    merged = jax.ops.segment_sum(covs, seg, num_segments=num_seg)
+    ukeys = jnp.full((num_seg, keys.shape[1]), 0xFFFFFFFF, jnp.uint32)
+    ukeys = ukeys.at[seg].set(sorted_keys, mode="drop")
+    n_groups = seg[-1] + 1
+    has_sent = _is_sentinel(sorted_keys[-1])
+    n_live = jnp.where(has_sent, n_groups - 1, n_groups)
+    idx = jnp.arange(num_seg, dtype=jnp.int32)
+    live = idx < n_live
+    merged = jnp.where(live[:, None], merged, 0)
+    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+    merged = jnp.minimum(merged, COV_CAPS[None, :]).astype(jnp.uint16)
+    return KmerTable(keys=ukeys, covs=merged, n=n_live.astype(jnp.int32))
+
+
+def searchsorted_kmers(table_keys, queries):
+    """Vectorized lower-bound binary search over sorted multiword keys.
+
+    Args:
+      table_keys: (C, W) sorted ascending (sentinel tail ok).
+      queries: (..., W).
+    Returns:
+      idx: (...) int32 — position of the first key >= query.
+    """
+    c = table_keys.shape[0]
+    steps = max(1, (c - 1).bit_length())
+    qshape = queries.shape[:-1]
+    lo = jnp.zeros(qshape, jnp.int32)
+    hi = jnp.full(qshape, c, jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        mid_keys = table_keys[jnp.minimum(mid, c - 1)]
+        less = kops.lex_less(mid_keys, queries)  # table[mid] < q
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    return lo
+
+
+def lookup_kmers(table_keys, queries):
+    """Exact-match lookup: index into the table, or -1 if absent.
+
+    Replaces ``search_kmerset`` (newhash.c:277) with a data-parallel
+    binary search over the sorted key array.
+    """
+    c = table_keys.shape[0]
+    idx = searchsorted_kmers(table_keys, queries)
+    safe = jnp.minimum(idx, c - 1)
+    found = kops.lex_eq(table_keys[safe], queries)
+    return jnp.where(found, safe, -1)
+
+
+def compact_mask(keys, payload_list, keep):
+    """Stable-compact rows where ``keep`` is True to the front.
+
+    Deleted rows become sentinel keys / zero payloads.  Returns
+    (keys, payloads, n_keep).  Used by pruning passes to re-pack the table
+    (the analog of the reference's ``deleted`` flag bits + rehash).
+    """
+    n = keys.shape[0]
+    order_key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((order_key, iota), num_keys=1, is_stable=True)
+    keys2 = keys[perm]
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    live = iota < n_keep
+    keys2 = jnp.where(live[:, None], keys2, jnp.uint32(0xFFFFFFFF))
+    outs = []
+    for p in payload_list:
+        p2 = p[perm]
+        mask = live[(...,) + (None,) * (p2.ndim - 1)]
+        outs.append(jnp.where(mask, p2, 0))
+    return keys2, outs, n_keep

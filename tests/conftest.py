@@ -1,0 +1,39 @@
+"""Test config: force an 8-device virtual CPU mesh.
+
+The environment pre-imports jax (sitecustomize registers the 'axon' TPU
+plugin and sets jax_platforms='axon,cpu'), so env vars alone don't stick:
+we must override jax.config directly, and set XLA_FLAGS before the CPU
+backend is first initialized.  Tests run deterministic on virtual CPU
+devices; multi-chip sharding paths use the 8-device mesh
+(SURVEY.md section 4 test strategy).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_dna(rng, n: int) -> str:
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def revcomp_str(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    return "".join(comp[c] for c in reversed(s))

@@ -1,0 +1,105 @@
+"""Property tests for multiword k-mer math vs. a brute-force string model."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soapdenovo2_tpu.ops import kmer as kops
+from conftest import random_dna, revcomp_str
+
+KS = [13, 15, 21, 31, 33, 63, 127]
+
+
+@pytest.mark.parametrize("k", KS)
+def test_string_roundtrip(k, rng):
+    s = random_dna(rng, k)
+    words = kops.string_to_kmer(s)
+    assert words.shape == (kops.num_words(k),)
+    assert kops.kmer_to_string(words, k) == s
+
+
+@pytest.mark.parametrize("k", KS)
+def test_reverse_complement(k, rng):
+    for _ in range(5):
+        s = random_dna(rng, k)
+        words = jnp.asarray(kops.string_to_kmer(s))[None, :]
+        rc = kops.reverse_complement(words, k)
+        assert kops.kmer_to_string(np.asarray(rc[0]), k) == revcomp_str(s)
+
+
+@pytest.mark.parametrize("k", [13, 31, 63])
+def test_shift_left_append(k, rng):
+    s = random_dna(rng, k + 1)
+    w0 = jnp.asarray(kops.string_to_kmer(s[:k]))[None, :]
+    base = kops.codes_from_ascii(np.frombuffer(s[-1].encode(), np.uint8))[0]
+    w1 = kops.shift_left_append(w0, jnp.asarray([base]), k)
+    assert kops.kmer_to_string(np.asarray(w1[0]), k) == s[1:]
+
+
+@pytest.mark.parametrize("k", [13, 31, 63])
+def test_shift_right_prepend(k, rng):
+    s = random_dna(rng, k + 1)
+    w0 = jnp.asarray(kops.string_to_kmer(s[1:]))[None, :]
+    base = kops.codes_from_ascii(np.frombuffer(s[:1].encode(), np.uint8))[0]
+    w1 = kops.shift_right_prepend(w0, jnp.asarray([base]), k)
+    assert kops.kmer_to_string(np.asarray(w1[0]), k) == s[:k]
+
+
+@pytest.mark.parametrize("k", [13, 31, 63, 127])
+def test_extract_kmers_matches_bruteforce(k, rng):
+    L = k + 40
+    reads = [random_dna(rng, L), random_dna(rng, L - 7), random_dna(rng, k)]
+    # inject an N into read 0
+    reads[0] = reads[0][:5] + "N" + reads[0][6:]
+    B = len(reads)
+    codes = np.full((B, L), kops.BASE_N, np.uint8)
+    lengths = np.zeros((B,), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = kops.codes_from_ascii(
+            np.frombuffer(r.encode(), np.uint8)
+        )
+        lengths[i] = len(r)
+
+    out = kops.extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+    words = np.asarray(out["words"])
+    valid = np.asarray(out["valid"])
+    left = np.asarray(out["left"])
+    right = np.asarray(out["right"])
+
+    for b, r in enumerate(reads):
+        for p in range(L - k + 1):
+            sub = r[p : p + k] if p + k <= len(r) else ""
+            expect_valid = len(sub) == k and "N" not in sub
+            assert valid[b, p] == expect_valid, (b, p)
+            if not expect_valid:
+                continue
+            fwd, rc = sub, revcomp_str(sub)
+            canon = min(fwd, rc)
+            is_rc = rc < fwd
+            assert kops.kmer_to_string(words[b, p], k) == canon, (b, p)
+            # flanking bases, strand-adjusted
+            lf = r[p - 1] if p > 0 else "N"
+            rf = r[p + k] if p + k < len(r) else "N"
+            if is_rc:
+                lf, rf = revcomp_str(rf), revcomp_str(lf)
+            code = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 4}
+            assert left[b, p] == code[lf], (b, p)
+            assert right[b, p] == code[rf], (b, p)
+
+
+def test_sentinel_sorts_last():
+    k = 31
+    s = kops.sentinel(k)
+    real = kops.string_to_kmer("T" * k)
+    assert kops.kmer_to_int(s) > kops.kmer_to_int(real)
+
+
+@pytest.mark.parametrize("k", [13, 31, 63])
+def test_lex_less_matches_int(k, rng):
+    a = np.stack([kops.string_to_kmer(random_dna(rng, k)) for _ in range(32)])
+    b = np.stack([kops.string_to_kmer(random_dna(rng, k)) for _ in range(32)])
+    got = np.asarray(kops.lex_less(jnp.asarray(a), jnp.asarray(b)))
+    want = np.array(
+        [kops.kmer_to_int(x) < kops.kmer_to_int(y) for x, y in zip(a, b)]
+    )
+    assert (got == want).all()

@@ -1,0 +1,158 @@
+"""End-to-end-ish tests for the pregraph stage on simulated reads."""
+
+import collections
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soapdenovo2_tpu.ops import kmer as kops
+from soapdenovo2_tpu.ops import sortcount as sc
+from soapdenovo2_tpu.io import reads as rio
+from soapdenovo2_tpu.models import kmer_graph as kg
+from soapdenovo2_tpu.models import edges as edge_mod
+from soapdenovo2_tpu.models import pregraph as pg
+from soapdenovo2_tpu.utils import simulate as sim
+
+from conftest import revcomp_str
+
+K = 21
+
+
+def batches(reads, batch_size=256, max_len=100):
+    return rio.batch_reads(iter(reads), batch_size, max_len)
+
+
+def canon_str(s: str) -> str:
+    rc = revcomp_str(s)
+    return min(s, rc)
+
+
+def brute_counts(reads, k):
+    counts = collections.Counter()
+    for r in reads:
+        s = r.decode()
+        for i in range(len(s) - k + 1):
+            sub = s[i : i + k]
+            if "N" in sub:
+                continue
+            counts[canon_str(sub)] += 1
+    return counts
+
+
+def test_count_matches_bruteforce():
+    genome = sim.random_genome(1500, seed=7)
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=80, insert_size=200,
+                                   coverage=8.0, seed=8)
+    reads = [x for pair in zip(r1, r2) for x in pair]
+    table, n_reads = pg.count_reads_to_table(
+        batches(reads, max_len=80), K, 80, init_capacity=1 << 12
+    )
+    assert n_reads == len(reads)
+    want = brute_counts(reads, K)
+    n = int(table.n)
+    keys = np.asarray(table.keys)[:n]
+    covs = np.asarray(table.covs)[:n]
+    got = {
+        kops.kmer_to_string(keys[i], K): int(covs[i, 8]) for i in range(n)
+    }
+    want_capped = {s: min(c, 255) for s, c in want.items()}
+    assert got == want_capped
+    # keys must be sorted & unique
+    for i in range(1, n):
+        assert kops.kmer_to_int(keys[i - 1]) < kops.kmer_to_int(keys[i])
+
+
+def test_single_contig_recovery():
+    genome = sim.random_genome(2000, seed=3)
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=100, insert_size=300,
+                                   coverage=25.0, seed=4)
+    reads = [x for pair in zip(r1, r2) for x in pair]
+    table, _ = pg.count_reads_to_table(batches(reads), K, 100,
+                                       init_capacity=1 << 12)
+    g = kg.from_table(table)
+    g = kg.mark_linear(g)
+    g, _ = kg.remove_single_tips(g, K)
+    g, _ = kg.remove_minor_tips(g, K)
+    eg = edge_mod.build_edges(g, K)
+    strings = [eg.edge_string(e) for e in range(eg.n_edges)]
+    gstr = genome.decode()
+    # Nearly the full genome must be recovered as one edge (read coverage
+    # can miss the extreme ends, and coverage-1 end tips get clipped).
+    best = max(strings, key=len) if strings else ""
+    assert len(best) >= len(gstr) - 250
+    assert best in gstr or revcomp_str(best) in gstr
+    # twin consistency: every edge's twin's string is its revcomp
+    for e in range(eg.n_edges):
+        t = int(eg.twin[e])
+        assert t >= 0
+        assert eg.edge_string(t) == revcomp_str(strings[e])
+
+
+def test_branching_graph_and_arcs():
+    rng = np.random.default_rng(11)
+    X = sim.random_genome(500, seed=20)
+    M = sim.random_genome(400, seed=21)
+    Y = sim.random_genome(500, seed=22)
+    Z = sim.random_genome(500, seed=23)
+    W = sim.random_genome(500, seed=24)
+    c1 = X + M + Y
+    c2 = Z + M + W
+    reads = []
+    for chrom in (c1, c2):
+        a, b = sim.simulate_pe_reads(chrom, read_len=100, insert_size=250,
+                                     coverage=20.0, seed=len(reads) + 1)
+        reads += [x for pair in zip(a, b) for x in pair]
+    table, _ = pg.count_reads_to_table(batches(reads), K, 100,
+                                       init_capacity=1 << 14)
+    g = kg.from_table(table)
+    g = kg.mark_linear(g)
+    g, _ = kg.remove_single_tips(g, K)
+    g, _ = kg.remove_minor_tips(g, K)
+    eg = edge_mod.build_edges(g, K)
+    assert eg.n_edges >= 10  # 5 undirected unitigs (X,Z,M,Y,W) x 2
+    strings = [eg.edge_string(e) for e in range(eg.n_edges)]
+    canon = {canon_str(s) for s in strings}
+    # M (plus k-1 flanking overlap on each side) must appear as one unitig
+    m_edges = [s for s in strings if M.decode() in s or
+               M.decode() in revcomp_str(s)]
+    assert m_edges, "shared segment not assembled as a single unitig"
+
+    arcs, marker, paths = pg.build_arcs(
+        batches(reads), eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), K,
+        record_paths=True,
+    )
+    n_arcs = int(arcs.n)
+    assert n_arcs >= 8  # 4 junctions x 2 directions
+    keys = np.asarray(arcs.keys)[:n_arcs]
+    mult = np.asarray(arcs.mult)[:n_arcs]
+    assert (mult > 0).all()
+    assert (keys[:, 0] < eg.n_edges).all() and (keys[:, 1] < eg.n_edges).all()
+    # arc symmetry: arc(a->b) implies arc(twin(b)->twin(a))
+    arcset = {(int(a), int(b)) for a, b in keys}
+    for a, b in arcset:
+        assert (int(eg.twin[b]), int(eg.twin[a])) in arcset
+
+
+def test_tip_removal():
+    genome = sim.random_genome(1200, seed=31)
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=100, insert_size=300,
+                                   coverage=30.0, seed=32)
+    reads = [x for pair in zip(r1, r2) for x in pair]
+    # an error near the read END creates a dead-end branch (a tip);
+    # a mid-read error would make a bubble instead
+    bad = bytearray(genome[500:600])
+    bad[95] = ord("A") if bad[95] != ord("A") else ord("C")
+    reads.append(bytes(bad))
+    table, _ = pg.count_reads_to_table(batches(reads), K, 100,
+                                       init_capacity=1 << 13)
+    g = kg.from_table(table)
+    g = kg.mark_linear(g)
+    g, n1 = kg.remove_single_tips(g, K)
+    g, n2 = kg.remove_minor_tips(g, K)
+    assert n1 + n2 > 0, "error tip was not clipped"
+    eg = edge_mod.build_edges(g, K)
+    best = max((eg.edge_string(e) for e in range(eg.n_edges)), key=len)
+    gstr = genome.decode()
+    assert len(best) >= len(gstr) - 250
+    assert best in gstr or revcomp_str(best) in gstr
