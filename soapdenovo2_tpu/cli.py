@@ -1,0 +1,212 @@
+"""Command-line pipeline driver.
+
+Mirrors the reference CLI (standardPregraph/main.c:59-104): subcommands
+``pregraph``, ``contig``, ``map``, ``scaff``, ``all`` (plus
+``sparse_pregraph`` when the sparse path lands) sharing state through the
+``prefix.*`` file protocol, so each stage is independently restartable.
+
+    python -m soapdenovo2_tpu all -s reads.config -K 31 -o out/asm
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+log = logging.getLogger("soapdenovo2_tpu")
+
+
+def _common_pregraph_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-s", dest="config", required=True, help="config file")
+    p.add_argument("-K", dest="kmer", type=int, default=23,
+                   help="k-mer size, odd, 13..127 (default 23)")
+    p.add_argument("-o", dest="prefix", required=True, help="output prefix")
+    p.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=0,
+                   help="delete k-mers with frequency <= this (default 0)")
+    p.add_argument("-R", dest="resolve_repeats", action="store_true",
+                   help="record read paths for repeat resolution")
+    p.add_argument("-p", dest="ncpu", type=int, default=8,
+                   help="accepted for compatibility (device-parallel)")
+    p.add_argument("--batch", dest="batch_size", type=int, default=4096)
+
+
+def _contig_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-g", dest="prefix", required=True, help="graph prefix")
+    p.add_argument("-M", dest="merge_level", type=int, default=1,
+                   help="merge level for bubbles (0 = off)")
+    p.add_argument("-D", dest="edge_cov_cutoff", type=int, default=1,
+                   help="delete edges with coverage <= this")
+    p.add_argument("-R", dest="resolve_repeats", action="store_true")
+
+
+def _map_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-s", dest="config", required=True)
+    p.add_argument("-g", dest="prefix", required=True)
+    p.add_argument("-k", dest="map_kmer", type=int, default=0,
+                   help="smaller k for mapping (default: assembly K)")
+    p.add_argument("-p", dest="ncpu", type=int, default=8)
+    p.add_argument("--batch", dest="batch_size", type=int, default=2048)
+
+
+def _scaff_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-g", dest="prefix", required=True)
+    p.add_argument("-F", dest="fill_gaps", action="store_true",
+                   help="fill gaps in scaffolds")
+    p.add_argument("-L", dest="min_ctg_len", type=int, default=0,
+                   help="shortest contig used for scaffolding")
+    p.add_argument("-p", dest="ncpu", type=int, default=8)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="soapdenovo2_tpu",
+        description="TPU-native de novo genome assembler "
+        "(SOAPdenovo2 pipeline, JAX/XLA/Pallas)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _common_pregraph_args(sub.add_parser("pregraph", help="k-mer graph build"))
+    _contig_args(sub.add_parser("contig", help="contig assembly"))
+    _map_args(sub.add_parser("map", help="map reads to contigs"))
+    _scaff_args(sub.add_parser("scaff", help="scaffolding"))
+    allp = sub.add_parser("all", help="full pipeline")
+    _common_pregraph_args(allp)
+    allp.add_argument("-M", dest="merge_level", type=int, default=1)
+    allp.add_argument("-D", dest="edge_cov_cutoff", type=int, default=1)
+    allp.add_argument("-F", dest="fill_gaps", action="store_true")
+    allp.add_argument("-L", dest="min_ctg_len", type=int, default=0)
+    allp.add_argument("-k", dest="map_kmer", type=int, default=0)
+    return ap
+
+
+def cmd_pregraph(args) -> None:
+    from .config import parse_config
+    from .io import reads as rio
+    from .models import checkpoint as ck
+    from .models import pregraph as pg
+
+    cfg = parse_config(args.config)
+    pre = pg.run_pregraph(
+        cfg, args.kmer, d_cutoff=args.kmer_freq_cutoff,
+        record_paths=args.resolve_repeats, batch_size=args.batch_size,
+    )
+    grads = [
+        rio.PeGrad(l.avg_ins, 0, l.rank, l.pair_num_cutoff or 3)
+        for l in cfg.sorted_by_insert()
+    ]
+    ck.write_pregraph(args.prefix, pre, grads=grads)
+
+
+def cmd_contig(args) -> None:
+    from .models import checkpoint as ck
+    from .models import contig as cm
+
+    g = ck.load_contig_graph(args.prefix)
+    res = cm.run_contig_graph(
+        g, merge_bubbles=args.merge_level > 0,
+        de_low_edge=args.edge_cov_cutoff,
+    )
+    n = ck.write_contigs(args.prefix, res.graph)
+    log.info("contig: %d contigs, stats %s", n, res.stats)
+
+
+def cmd_map(args) -> None:
+    from .config import parse_config
+    from .io import files as fio
+    from .models import checkpoint as ck
+    from .models import mapping as mp
+
+    cfg = parse_config(args.config)
+    info = fio.read_pre_graph_basic(args.prefix)
+    k = args.map_kmer or info["k"]
+    contigs = ck.load_contigs(args.prefix)
+    mres = mp.run_map(cfg, contigs, k, batch_size=args.batch_size)
+    fio.write_read_on_contig(args.prefix, mres.read_id, mres.ctg, mres.pos)
+    fio.write_read_in_gap(args.prefix, mres.gap_read_ids)
+    fio.write_pe_grads(args.prefix, mres.pe_grads, cfg.max_rd_len)
+
+
+def cmd_scaff(args) -> None:
+    from .io import files as fio
+    from .models import checkpoint as ck
+    from .models import scaffold as sf
+    from .models import mapping as mp
+    from .utils import simulate as sim_utils
+
+    contigs = ck.load_contigs(args.prefix)
+    rid, ctg, pos = fio.read_read_on_contig(args.prefix)
+    grads, max_rd_len = fio.read_pe_grads(args.prefix)
+    cvg = _load_contig_cvg(args.prefix, len(contigs))
+    mres = mp.MapResult(
+        read_id=rid, ctg=ctg, pos=pos,
+        gap_read_ids=fio.read_read_in_gap(args.prefix),
+        n_reads=int(grads[-1].end_read_id) if grads else 0,
+        pe_grads=grads,
+    )
+    sres = sf.run_scaff(
+        mres, contigs, min_ctg_len=args.min_ctg_len, contig_cvg=cvg,
+    )
+    ctg_len = np.zeros((2 * len(contigs),), np.int64)
+    for t, s in enumerate(contigs):
+        ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
+    fio.write_scaf(args.prefix, sres.scaffolds, ctg_len)
+    fio.write_scaf_seq(args.prefix, sres.seqs)
+    contig_stats = sim_utils.assembly_stats(contigs)
+    fio.write_scaf_statistics(args.prefix, contig_stats, sres.stats)
+    log.info("scaff: %s", sres.stats)
+
+
+def _load_contig_cvg(prefix: str, n: int) -> Optional[np.ndarray]:
+    try:
+        cvg = np.zeros((n,), np.float64)
+        with open(prefix + ".ContigIndex") as fh:
+            fh.readline()
+            for line in fh:
+                t = line.split()
+                if len(t) >= 3:
+                    cid = int(t[0]) - 1
+                    if 0 <= cid < n:
+                        cvg[cid] = float(t[2])
+        return cvg
+    except FileNotFoundError:
+        return None
+
+
+def cmd_all(args) -> None:
+    t0 = time.time()
+    cmd_pregraph(args)
+    log.info("[all] pregraph done (%.1fs)", time.time() - t0)
+    cmd_contig(args)
+    log.info("[all] contig done (%.1fs)", time.time() - t0)
+    cmd_map(args)
+    log.info("[all] map done (%.1fs)", time.time() - t0)
+    cmd_scaff(args)
+    log.info("[all] scaff done (%.1fs)", time.time() - t0)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
+    args = build_parser().parse_args(argv)
+    if args.cmd == "pregraph":
+        cmd_pregraph(args)
+    elif args.cmd == "contig":
+        cmd_contig(args)
+    elif args.cmd == "map":
+        cmd_map(args)
+    elif args.cmd == "scaff":
+        cmd_scaff(args)
+    elif args.cmd == "all":
+        cmd_all(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -230,9 +230,105 @@ def read_contigs(path: str) -> List[Tuple[int, str]]:
     return out
 
 
+def write_read_on_contig(
+    prefix: str, read_id: np.ndarray, ctg: np.ndarray, pos: np.ndarray
+) -> None:
+    """*.readOnContig.gz: 'read contig pos' per mapped read
+    (prlRead2Ctg.c:863-880).  Contig ids are 1-based directed ids."""
+    with gzip.open(prefix + ".readOnContig.gz", "wt") as fh:
+        fh.write("read\tcontig\tpos\n")
+        for r, c, p in zip(read_id, ctg, pos):
+            fh.write(f"{int(r)}\t{int(c) + 1}\t{int(p)}\n")
+
+
+def read_read_on_contig(prefix: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rows = []
+    with gzip.open(prefix + ".readOnContig.gz", "rt") as fh:
+        header = fh.readline()
+        for line in fh:
+            t = line.split()
+            if len(t) >= 3:
+                rows.append((int(t[0]), int(t[1]) - 1, int(t[2])))
+    if not rows:
+        return (np.zeros((0,), np.int64),) * 3  # type: ignore[return-value]
+    arr = np.array(rows, np.int64)
+    return arr[:, 0], arr[:, 1].astype(np.int32), arr[:, 2].astype(np.int32)
+
+
+def write_read_in_gap(prefix: str, read_ids: np.ndarray) -> None:
+    """*.readInGap.gz — candidate gap-filling reads (multi-contig hits)."""
+    with gzip.open(prefix + ".readInGap.gz", "wt") as fh:
+        for r in read_ids:
+            fh.write(f"{int(r)}\n")
+
+
+def read_read_in_gap(prefix: str) -> np.ndarray:
+    try:
+        with gzip.open(prefix + ".readInGap.gz", "rt") as fh:
+            return np.array([int(x) for x in fh if x.strip()], np.int64)
+    except FileNotFoundError:
+        return np.zeros((0,), np.int64)
+
+
+def write_scaf(prefix: str, scaffolds, ctg_len) -> None:
+    """*.scaf: per scaffold, the ordered contigs with orientation and
+    cumulative start position (orderContig.c scaffolding:4591 format-ish)."""
+    with open(prefix + ".scaf", "w") as fh:
+        for si, sc in enumerate(scaffolds):
+            total = sum(int(ctg_len[c]) for c in sc.ctgs) + sum(
+                max(int(g), 1) for g in sc.gaps
+            )
+            fh.write(f">scaffold{si + 1} {len(sc.ctgs)} {total}\n")
+            acc = 0
+            for j, c in enumerate(sc.ctgs):
+                orient = "-" if (c & 1) else "+"
+                fh.write(f"{(c >> 1) + 1}\t{acc}\t{orient}\t{int(ctg_len[c])}\n")
+                acc += int(ctg_len[c])
+                if j < len(sc.gaps):
+                    acc += max(int(sc.gaps[j]), 1)
+
+
+def write_scaf_seq(prefix: str, seqs, name: str = "scaffold") -> None:
+    write_fasta_generic(
+        prefix + ".scafSeq",
+        ((f"{name}{i + 1} {len(s)}", s) for i, s in enumerate(seqs)),
+    )
+
+
+def write_scaf_statistics(prefix: str, contig_stats: dict, scaff_stats: dict) -> None:
+    """*.scafStatistics (ScafStat, orderContig.c:3429)."""
+    with open(prefix + ".scafStatistics", "w") as fh:
+        fh.write("<-- Information for assembly Scaffold '%s.scafSeq'.(cut_off_length < 100bp) -->\n\n" % prefix)
+        for title, st in (("Scaffold", scaff_stats), ("Contig", contig_stats)):
+            fh.write(f"{title}_Number {st.get('n', 0)}\n")
+            fh.write(f"{title}_Total_Length {st.get('total', 0)}\n")
+            fh.write(f"{title}_Longest {st.get('max', 0)}\n")
+            fh.write(f"{title}_N50 {st.get('N50', 0)}\n")
+            fh.write(f"{title}_N90 {st.get('N90', 0)}\n\n")
+
+
 def write_fasta_generic(path: str, records: Iterable[Tuple[str, str]]) -> None:
     with open(path, "w") as fh:
         for name, seq in records:
             fh.write(f">{name}\n")
             for i in range(0, len(seq), 100):
                 fh.write(seq[i : i + 100] + "\n")
+
+
+def read_fasta(path: str) -> List[Tuple[str, str]]:
+    out: List[Tuple[str, str]] = []
+    name = None
+    parts: List[str] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    out.append((name, "".join(parts)))
+                name = line[1:]
+                parts = []
+            elif line:
+                parts.append(line)
+    if name is not None:
+        out.append((name, "".join(parts)))
+    return out

@@ -88,9 +88,23 @@ def from_pregraph(pre: pg.PregraphResult) -> ContigGraph:
     n = int(pre.arcs.n)
     keys = np.asarray(pre.arcs.keys)[:n].astype(np.int64)
     mult = np.asarray(pre.arcs.mult)[:n]
+    raw: Dict[Tuple[int, int], int] = {}
     for (f, t), m in zip(keys, mult):
         if f < eg.n_edges and t < eg.n_edges:
-            arcs[int(f)][int(t)] = int(m)
+            raw[(int(f), int(t))] = int(m)
+    twin = eg.twin
+    for (f, t), m in raw.items():
+        # loadPreGraph.c add1Arc:581 — drop inconsistent joins (edges that
+        # do not share a junction k-mer) and give an arc and its
+        # reverse-complement mirror one shared multiplicity.
+        if not (
+            eg.to_node[f] == eg.from_node[t]
+            and eg.to_orient[f] == eg.from_orient[t]
+        ):
+            continue
+        w = m + raw.get((int(twin[t]), int(twin[f])), 0)
+        arcs[f][t] = w
+        arcs[int(twin[t])][int(twin[f])] = w
     return ContigGraph(
         k=eg.k,
         seqs=seqs,
@@ -376,7 +390,19 @@ def run_contig(
     de_low_edge: int = 1,
     progress: bool = True,
 ) -> ContigResult:
-    g = from_pregraph(pre)
+    return run_contig_graph(
+        from_pregraph(pre), merge_bubbles=merge_bubbles,
+        de_low_edge=de_low_edge, progress=progress,
+    )
+
+
+def run_contig_graph(
+    g: ContigGraph,
+    merge_bubbles: bool = True,
+    de_low_edge: int = 1,
+    progress: bool = True,
+) -> ContigResult:
+    """contig.c call_heavygraph:61 pipeline over a loaded edge graph."""
     k = g.k
     n_weak = remove_weak_edges(g, 2 * k, 1)
     n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0

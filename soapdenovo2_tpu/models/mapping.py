@@ -1,0 +1,267 @@
+"""Map stage: read -> contig alignment by k-mer voting.
+
+TPU-native counterpart of standardPregraph/map.c ``call_align:96``:
+
+  * contig k-mer index (prlHashCtg.c ``prlContig2nodes:317``): chop every
+    contig into canonical k-mers; k-mers seen more than once across all
+    contigs are repeat-masked (dropped), survivors store
+    (contig id, position, strand) — here as parallel flat arrays beside a
+    sorted key table instead of hash-set bitfields.
+  * read voting (prlRead2Ctg.c ``parse1read:260``): a read maps to the
+    contig with the most k-mer hits, requiring at least
+    ``multi = max(2, min(len, 60) - k + 1)`` hits; position/orientation
+    from the first hit of the winning contig.  The per-read group-by is
+    an O(P^2) masked comparison (P = read positions), fully vectorized.
+
+Directed contig ids follow the reference's twin convention: undirected
+contig t yields ids (2t, 2t+1) = (canonical seq, reverse complement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io import reads as rio
+from ..ops import kmer as kops
+from ..ops import sortcount as sc
+
+log = logging.getLogger("soapdenovo2_tpu.map")
+
+ALIGN_LEN = 60  # prlRead2Ctg.c ALIGNLEN
+
+
+@dataclasses.dataclass
+class ContigIndex:
+    k: int
+    keys: np.ndarray  # (C, W) sorted canonical k-mers (unique, repeat-masked)
+    cid: np.ndarray  # (C,) int32 — EVEN directed contig id (2t)
+    pos: np.ndarray  # (C,) int32 — k-mer start offset within contig 2t
+    flip: np.ndarray  # (C,) bool — canonical k-mer is the RC of the contig k-mer
+    ctg_len: np.ndarray  # (2N,) int32
+    n_contigs: int  # undirected count N
+
+
+def build_contig_index(contig_seqs: List[str], k: int,
+                       batch_rows: int = 512) -> ContigIndex:
+    """Chop contigs >= k+2 long into a repeat-masked k-mer index."""
+    kops.validate_k(k)
+    n = len(contig_seqs)
+    ctg_len = np.zeros((2 * n,), np.int32)
+    all_keys = []
+    all_cid = []
+    all_pos = []
+    all_flip = []
+    # process contigs in padded batches of equal-ish length
+    order = sorted(range(n), key=lambda t: len(contig_seqs[t]))
+    for i0 in range(0, n, batch_rows):
+        rows = order[i0 : i0 + batch_rows]
+        maxlen = max(len(contig_seqs[t]) for t in rows)
+        maxlen = max(maxlen, k)
+        codes = np.full((len(rows), maxlen), kops.BASE_N, np.uint8)
+        lengths = np.zeros((len(rows),), np.int32)
+        for r, t in enumerate(rows):
+            s = contig_seqs[t]
+            ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
+            if len(s) < k + 2:  # prlContig2nodes skips short contigs
+                continue
+            lengths[r] = rio.encode_read(s.encode(), codes[r])
+        out = kops.extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+        words = np.asarray(out["words"])
+        valid = np.asarray(out["valid"])
+        flip = np.asarray(out["is_rc"])
+        P = words.shape[1]
+        for r, t in enumerate(rows):
+            v = valid[r]
+            if not v.any():
+                continue
+            idx = np.nonzero(v)[0]
+            all_keys.append(words[r, idx])
+            all_cid.append(np.full((idx.size,), 2 * t, np.int32))
+            all_pos.append(idx.astype(np.int32))
+            all_flip.append(flip[r, idx])
+    if not all_keys:
+        w = kops.num_words(k)
+        return ContigIndex(k, np.zeros((0, w), np.uint32),
+                           np.zeros((0,), np.int32), np.zeros((0,), np.int32),
+                           np.zeros((0,), bool), ctg_len, n)
+    keys = np.concatenate(all_keys)
+    cid = np.concatenate(all_cid)
+    pos = np.concatenate(all_pos)
+    flip = np.concatenate(all_flip)
+    # sort + repeat-mask duplicates (kmers seen >= 2x are deleted,
+    # prlHashCtg.c singleKmer:129)
+    order2 = np.lexsort(tuple(keys[:, i] for i in range(keys.shape[1] - 1, -1, -1)))
+    keys, cid, pos, flip = keys[order2], cid[order2], pos[order2], flip[order2]
+    new = np.ones((keys.shape[0],), bool)
+    new[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    grp = np.cumsum(new) - 1
+    cnt = np.bincount(grp)
+    uniq = cnt[grp] == 1
+    return ContigIndex(
+        k=k, keys=keys[uniq], cid=cid[uniq], pos=pos[uniq],
+        flip=flip[uniq], ctg_len=ctg_len, n_contigs=n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len):
+    """Vectorized parse1read over a read batch.
+
+    Returns (ctg (B,), position (B,), mapped (B,), multi_ctg (B,)):
+    directed contig id, 0-based read-start position on it, mapped flag,
+    and the 'hits multiple contigs' flag feeding *.readInGap.
+    """
+    out = kops.extract_kmers(codes, lengths, k)
+    idx = sc.lookup_kmers(keys, out["words"])  # (B, P)
+    ok = (idx >= 0) & out["valid"]
+    safe = jnp.maximum(idx, 0)
+    hit_cid = jnp.where(ok, cid[safe], -1)  # (B, P)
+    hit_pos = jnp.where(ok, pos[safe], 0)
+    hit_flip = flip[safe] != 0
+    read_flip = out["is_rc"]
+    # read aligns forward on contig 2t iff strands agree; else on 2t+1
+    fwd = hit_flip == read_flip
+
+    B, P = hit_cid.shape
+    # per-read contig vote: count[b,p] = #hits of the same contig (O(P^2))
+    same = (hit_cid[:, :, None] == hit_cid[:, None, :]) & (
+        hit_cid[:, :, None] >= 0
+    )
+    count = jnp.sum(same, axis=2)  # (B, P)
+    first_occ = (
+        jnp.cumsum(same, axis=2)[
+            jnp.arange(B)[:, None], jnp.arange(P)[None, :], jnp.arange(P)[None, :]
+        ]
+        == 1
+    )  # hit at p is the first occurrence of its contig
+    # multi threshold: all k-mers of the first min(len,60) bases must match
+    alen = jnp.minimum(lengths, ALIGN_LEN)
+    multi = jnp.maximum(alen - k + 1, 2)  # (B,)
+    score = jnp.where(first_occ & (count >= multi[:, None]), count, 0)
+    best_p = jnp.argmax(score, axis=1)  # first max
+    best_score = jnp.take_along_axis(score, best_p[:, None], axis=1)[:, 0]
+    mapped = best_score > 0
+
+    bidx = jnp.arange(B)
+    c2t = hit_cid[bidx, best_p]  # even id
+    p0 = hit_pos[bidx, best_p]
+    i0 = best_p  # read offset of the hit k-mer
+    is_fwd = fwd[bidx, best_p]
+    clen = ctg_len[jnp.maximum(c2t, 0)]
+    ctg = jnp.where(is_fwd, c2t, c2t + 1)
+    position = jnp.where(is_fwd, p0 - i0, clen - p0 - k - i0)
+
+    # counter2: distinct contigs with >=2 hits (>=1 for k>32) -> gap read
+    thresh = 2 if k < 32 else 1
+    n_multi = jnp.sum(first_occ & (count >= thresh), axis=1)
+    multi_ctg = n_multi > 1
+    return (
+        jnp.where(mapped, ctg, -1),
+        position.astype(jnp.int32),
+        mapped,
+        multi_ctg,
+    )
+
+
+@dataclasses.dataclass
+class MapResult:
+    """Read->contig placements for the scaffolder (host arrays)."""
+
+    read_id: np.ndarray  # (M,) int64
+    ctg: np.ndarray  # (M,) int32 directed contig id
+    pos: np.ndarray  # (M,) int32 read start on contig (0-based, may be <0)
+    gap_read_ids: np.ndarray  # reads hitting >1 contig (readInGap candidates)
+    n_reads: int
+    pe_grads: List[rio.PeGrad]
+
+
+def map_reads(
+    batch_iter: Iterable[rio.ReadBatch],
+    index: ContigIndex,
+    progress: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Map a read stream; returns (read_id, ctg, pos, gap_read_ids)."""
+    rid_list, ctg_list, pos_list, gap_list = [], [], [], []
+    keys = jnp.asarray(index.keys)
+    cid = jnp.asarray(index.cid)
+    pos_a = jnp.asarray(index.pos)
+    flip = jnp.asarray(index.flip.astype(np.int8))
+    clen = jnp.asarray(index.ctg_len)
+    n_reads = 0
+    for batch in batch_iter:
+        ctg, position, mapped, multi_ctg = _map_batch(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
+            keys, cid, pos_a, flip, clen,
+        )
+        ctg = np.asarray(ctg)[: batch.n]
+        position = np.asarray(position)[: batch.n]
+        mapped_np = np.asarray(mapped)[: batch.n]
+        multi_np = np.asarray(multi_ctg)[: batch.n]
+        ids = batch.start_id + np.arange(batch.n, dtype=np.int64)
+        sel = mapped_np
+        rid_list.append(ids[sel])
+        ctg_list.append(ctg[sel])
+        pos_list.append(position[sel])
+        gap_list.append(ids[multi_np])
+        n_reads += batch.n
+    if rid_list:
+        read_id = np.concatenate(rid_list)
+        ctg_arr = np.concatenate(ctg_list)
+        pos_arr = np.concatenate(pos_list)
+        gaps = np.concatenate(gap_list)
+    else:
+        read_id = np.zeros((0,), np.int64)
+        ctg_arr = np.zeros((0,), np.int32)
+        pos_arr = np.zeros((0,), np.int32)
+        gaps = np.zeros((0,), np.int64)
+    if progress:
+        log.info("map: %d/%d reads mapped", read_id.size, n_reads)
+    return read_id, ctg_arr, pos_arr, gaps, n_reads
+
+
+def run_map(cfg, contig_seqs: List[str], k: int,
+            batch_size: int = 2048, progress: bool = True) -> MapResult:
+    """map.c call_align:96 — index contigs, stream scaffolding libraries
+    in ascending-insert order, record per-library read-id gradations."""
+    index = build_contig_index(contig_seqs, k)
+    if progress:
+        log.info("contig index: %d unique kmers over %d contigs",
+                 index.keys.shape[0], index.n_contigs)
+    grads: List[rio.PeGrad] = []
+    all_rid, all_ctg, all_pos, all_gap = [], [], [], []
+    next_id = 0
+    for lib in sorted(cfg.libs_for_scaff(), key=lambda l: l.avg_ins):
+        stream = rio.iter_lib_reads(lib, paired_only=True)
+        rid, ctg, pos, gaps, n_lib = map_reads(
+            rio.batch_reads(stream, batch_size, cfg.max_rd_len,
+                            start_id=next_id),
+            index, progress=progress,
+        )
+        next_id += n_lib
+        grads.append(
+            rio.PeGrad(
+                insert_size=lib.avg_ins,
+                end_read_id=next_id,
+                rank=lib.rank,
+                pair_num_cutoff=lib.pair_num_cutoff or 3,
+            )
+        )
+        all_rid.append(rid)
+        all_ctg.append(ctg)
+        all_pos.append(pos)
+        all_gap.append(gaps)
+    return MapResult(
+        read_id=np.concatenate(all_rid) if all_rid else np.zeros((0,), np.int64),
+        ctg=np.concatenate(all_ctg) if all_ctg else np.zeros((0,), np.int32),
+        pos=np.concatenate(all_pos) if all_pos else np.zeros((0,), np.int32),
+        gap_read_ids=np.concatenate(all_gap) if all_gap else np.zeros((0,), np.int64),
+        n_reads=next_id,
+        pe_grads=grads,
+    )

@@ -1,0 +1,108 @@
+"""Map + scaff stage tests: read placement and PE scaffolding."""
+
+import numpy as np
+import pytest
+
+from soapdenovo2_tpu.io import reads as rio
+from soapdenovo2_tpu.models import mapping as mp
+from soapdenovo2_tpu.models import scaffold as sf
+from soapdenovo2_tpu.utils import simulate as sim
+
+from conftest import revcomp_str
+
+K = 21
+
+
+def test_contig_index_and_mapping():
+    g1 = sim.random_genome(800, seed=71)
+    g2 = sim.random_genome(600, seed=72)
+    contigs = [g1.decode(), g2.decode()]
+    index = mp.build_contig_index(contigs, K)
+    # reads straight off the contigs must map at the right position
+    reads = [g1[100:200], sim.revcomp(g1[300:400]), g2[50:150]]
+    batches = rio.batch_reads(iter(reads), 4, 100)
+    rid, ctg, pos, gaps, n = mp.map_reads(batches, index, progress=False)
+    assert n == 3
+    m = dict(zip(rid.tolist(), zip(ctg.tolist(), pos.tolist())))
+    assert m[0] == (0, 100)  # fwd on contig 0
+    # read 1 is rc of g1[300:400] -> maps to directed contig 1 (rc of g1)
+    assert m[1] == (1, 800 - 400)
+    assert m[2] == (2, 50)
+
+
+def test_scaffold_joins_contigs_across_gap():
+    """Two coverage islands joined by PE inserts spanning the gap."""
+    A = sim.random_genome(1500, seed=81)
+    M = sim.random_genome(200, seed=82)  # uncovered gap
+    B = sim.random_genome(1500, seed=83)
+    genome = A + M + B
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=100, insert_size=500,
+                                   coverage=40.0, seed=84)
+    # drop reads overlapping the middle region (simulate unsequencable gap)
+    lo, hi = len(A), len(A) + len(M)
+
+    def covers_gap(seq):
+        s = seq.decode()
+        gs = genome.decode()
+        i = gs.find(s)
+        if i < 0:
+            i = gs.find(revcomp_str(s))
+        return i >= 0 and i < hi and i + len(s) > lo
+
+    keep1, keep2 = [], []
+    for a, b in zip(r1, r2):
+        if covers_gap(a) or covers_gap(b):
+            continue
+        keep1.append(a)
+        keep2.append(b)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    sim.write_fastq(os.path.join(d, "a_1.fastq"), keep1)
+    sim.write_fastq(os.path.join(d, "a_2.fastq"), keep2)
+    with open(os.path.join(d, "t.config"), "w") as fh:
+        fh.write(
+            "max_rd_len=100\n[LIB]\navg_ins=500\nreverse_seq=0\n"
+            f"asm_flags=3\nrank=1\npair_num_cutoff=3\n"
+            f"q1={d}/a_1.fastq\nq2={d}/a_2.fastq\n"
+        )
+    from soapdenovo2_tpu.config import parse_config
+    from soapdenovo2_tpu.models import pregraph as pg
+    from soapdenovo2_tpu.models import contig as cm
+
+    cfg = parse_config(os.path.join(d, "t.config"))
+    pre = pg.run_pregraph(cfg, K, progress=False)
+    cres = cm.run_contig(pre, progress=False)
+    contigs = [s for _, s, _ in cm.contig_sequences(cres.graph, min_len=K + 2)]
+    # expect 2 main contigs (A-ish and B-ish)
+    big = sorted(contigs, key=len, reverse=True)[:2]
+    assert len(big) == 2 and min(len(c) for c in big) > 1000
+
+    mres = mp.run_map(cfg, contigs, K, progress=False)
+    assert mres.read_id.size > 0.5 * 2 * len(keep1)
+
+    sres = sf.run_scaff(mres, contigs, progress=False)
+    # the two big contigs must land in one scaffold with a plausible gap
+    best = max(sres.seqs, key=len)
+    assert len(best) >= len(big[0]) + len(big[1])
+    assert "N" in best  # joined across a gap
+    import re
+    runs = [len(m.group(0)) for m in re.finditer("N+", best)]
+    assert any(abs(r - len(M)) < 0.6 * len(M) + 60 for r in runs)
+
+
+def test_pairs_on_same_contig_reestimate_insert():
+    g = sim.random_genome(3000, seed=91)
+    r1, r2 = sim.simulate_pe_reads(g, read_len=100, insert_size=400,
+                                   coverage=30.0, seed=92)
+    contigs = [g.decode()]
+    index = mp.build_contig_index(contigs, K)
+    reads = [x for pair in zip(r1, r2) for x in pair]
+    rid, ctg, pos, gaps, n = mp.map_reads(
+        rio.batch_reads(iter(reads), 256, 100), index, progress=False
+    )
+    ctg_len = np.array([3000, 3000], np.int64)
+    links, new_ins = sf.build_links_for_grad(
+        rid, ctg, pos, ctg_len, 380, 0, n  # deliberately wrong prior 380
+    )
+    assert new_ins is not None
+    assert abs(new_ins - 400) <= 3
