@@ -275,10 +275,13 @@ def extract_kmers(codes, lengths, k: int):
         run = jnp.where(ok, run + 1, 0)
         return (fwd, rc, run), (fwd, rc, run)
 
+    # derive the zero-init from the input so the carry has the same
+    # device-varying type as xs under shard_map (scan-vma rule)
+    zrow = codes_u32[:, :1] & jnp.uint32(0)
     init = (
-        jnp.zeros((B, W), jnp.uint32),
-        jnp.zeros((B, W), jnp.uint32),
-        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, W), jnp.uint32) + zrow,
+        jnp.zeros((B, W), jnp.uint32) + zrow,
+        jnp.zeros((B,), jnp.int32) + zrow[:, 0].astype(jnp.int32),
     )
     xs = (codes_u32.T, valid_base.T)  # scan over L
     _, (fwd_seq, rc_seq, run_seq) = jax.lax.scan(step, init, xs)
