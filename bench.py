@@ -1,0 +1,86 @@
+"""Benchmark: k-mer hash-build throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N/BASELINE}
+
+The measured kernel is the pregraph count step — canonical k-mer
+extraction + sort/segment-reduce counting over a read batch — i.e. the
+hot loop of the reference's prlRead2HashTable (prlHashReads.c:304),
+which BASELINE.json names as the headline metric.
+
+Baseline: SOAPdenovo-63mer (reference, compiled -O3) pregraph hashing
+throughput measured on this host = 105,000,000 k-mers in 50 s
+(2.1e6 kmers/s, K=31, 2 vCPUs; see BASELINE.md "measured" section).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_KMERS_PER_S = 2.1e6  # measured on this host, see BASELINE.md
+
+K = 31
+B = 16384
+L = 150
+ITERS = 5
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from soapdenovo2_tpu.ops import kmer as kops
+    from soapdenovo2_tpu.ops import sortcount as sc
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, size=(B, L)).astype(np.uint8))
+    lengths = jnp.full((B,), L, jnp.int32)
+
+    @jax.jit
+    def step(codes, lengths):
+        out = kops.extract_kmers(codes, lengths, K)
+        b, p, w = out["words"].shape
+        t = sc.count_batch(
+            out["words"].reshape(b * p, w),
+            out["valid"].reshape(b * p),
+            out["left"].reshape(b * p),
+            out["right"].reshape(b * p),
+            b * p,
+        )
+        return t.n
+
+    # warmup/compile (int() forces full sync on every backend)
+    int(step(codes, lengths))
+    t0 = time.time()
+    for _ in range(ITERS):
+        int(step(codes, lengths))
+    dt = (time.time() - t0) / ITERS
+    kmers = B * (L - K + 1)
+    value = kmers / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kmers/s/chip (pregraph count step, K=31)",
+                "value": round(value),
+                "unit": "kmers/s",
+                "vs_baseline": round(value / REFERENCE_KMERS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

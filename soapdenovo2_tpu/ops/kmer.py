@@ -229,12 +229,164 @@ def hash_words(words):
 
 
 # ---------------------------------------------------------------------------
-# K-mer extraction from packed read batches (rolling scan)
+# K-mer extraction from packed read batches
 # ---------------------------------------------------------------------------
+
+
+def _mw_shl(x, bits: int):
+    """Multiword logical shift left by a static bit count.
+
+    ``x`` is a LIST of W (B, L) uint32 arrays, word 0 most significant —
+    structure-of-arrays so the TPU lane dimension is the read axis, not
+    the (tiny) word axis.
+    """
+    if bits == 0:
+        return x
+    w = len(x)
+    ws, bs = divmod(bits, 32)
+    if ws:
+        if ws >= w:
+            return [jnp.zeros_like(v) for v in x]
+        zero = jnp.zeros_like(x[0])
+        x = x[ws:] + [zero] * ws
+    if bs:
+        out = []
+        for i in range(w):
+            hi = x[i] << bs
+            if i + 1 < w:
+                hi = hi | (x[i + 1] >> (32 - bs))
+            out.append(hi)
+        x = out
+    return x
+
+
+def _mw_or(a, b):
+    return [x | y for x, y in zip(a, b)]
+
+
+def _advance(x, off: int):
+    """Shift a (B, L) span array along positions: out[:, i] = x[:, i + off].
+
+    Tail positions hold garbage; callers mask with validity."""
+    if off == 0:
+        return x
+    pad_shape = (x.shape[0], off)
+    return jnp.concatenate([x[:, off:], jnp.zeros(pad_shape, x.dtype)], axis=1)
+
+
+def _advance_mw(x, off: int):
+    return [_advance(v, off) for v in x]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def extract_kmers(codes, lengths, k: int):
+    """Chop every read into canonical k-mers with flanking-base context.
+
+    Log-doubling formulation (TPU-friendly; no sequential scan): spans of
+    2^t bases are combined by multiword shifts, so a length-L batch needs
+    only ~2*log2(k) vector passes over (B, L, W) arrays instead of L
+    rolling steps.  Returns the same dict as the reference rolling
+    version ``extract_kmers_scan`` (kept for cross-checking).
+
+    Args/returns: see ``extract_kmers_scan``.
+    """
+    validate_k(k)
+    B, L = codes.shape
+    if L < k:
+        raise ValueError(f"read buffer length {L} < k={k}")
+    W = num_words(k)
+    P = L - k + 1
+
+    base = codes.astype(jnp.uint32)
+    ok = codes < BASE_N
+    b_safe = jnp.where(ok, base, 0)
+
+    # span[m][w][:, i] = word w of the value of bases i..i+m-1
+    zero = jnp.zeros((B, L), jnp.uint32)
+    fwd_span = [zero] * (W - 1) + [b_safe]
+    comp = (3 - b_safe) & 3
+    rc_span = [zero] * (W - 1) + [comp]
+    val_span = ok
+
+    spans = {1: (fwd_span, rc_span, val_span)}
+    m = 1
+    while 2 * m <= k:
+        f, r, v = spans[m]
+        f2 = _mw_or(_mw_shl(f, 2 * m), _advance_mw(f, m))
+        # rc(A||B) = rc(B) || rc(A):  (rc_B << 2m) | rc_A
+        r2 = _mw_or(_mw_shl(_advance_mw(r, m), 2 * m), r)
+        v2 = v & _advance(v, m)
+        m *= 2
+        spans[m] = (f2, r2, v2)
+
+    # combine the binary decomposition of k
+    powers = sorted(spans, reverse=True)
+    remaining = k
+    acc = None  # (fwd, rc, valid, covered)
+    for p in powers:
+        if p > remaining:
+            continue
+        f, r, v = spans[p]
+        if acc is None:
+            acc = (f, r, v, p)
+        else:
+            fa, ra, va, off = acc
+            fa = _mw_or(_mw_shl(fa, 2 * p), _advance_mw(f, off))
+            ra = _mw_or(_mw_shl(_advance_mw(r, off), 2 * off), ra)
+            va = va & _advance(v, off)
+            acc = (fa, ra, va, off + p)
+        remaining -= p
+    fwd, rc, val, covered = acc
+    assert covered == k
+
+    mask0 = jnp.uint32(top_word_mask(k))
+    fwd = [v[:, :P] for v in fwd]
+    rc = [v[:, :P] for v in rc]
+    fwd[0] = fwd[0] & mask0
+    rc[0] = rc[0] & mask0
+    val = val[:, :P]
+
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    in_read = pos + k <= lengths[:, None].astype(jnp.int32)
+    valid = val & in_read
+
+    # canonical = min(fwd, rc), computed word-wise in SoA layout
+    lt = jnp.zeros((B, P), bool)
+    eq = jnp.ones((B, P), bool)
+    for i in range(W):
+        lt = lt | (eq & (rc[i] < fwd[i]))
+        eq = eq & (rc[i] == fwd[i])
+    is_rc = lt
+    canon = jnp.stack(
+        [jnp.where(is_rc, rc[i], fwd[i]) for i in range(W)], axis=-1
+    )
+
+    left_f = jnp.concatenate(
+        [jnp.full((B, 1), BASE_N, jnp.uint8), codes[:, : P - 1]], axis=1
+    )
+    ridx = jnp.minimum(pos + k, L - 1)
+    right_f = jnp.take_along_axis(codes, ridx, axis=1)
+    right_f = jnp.where(pos + k < lengths[:, None], right_f, BASE_N).astype(jnp.uint8)
+    left_f = jnp.where(left_f < BASE_N, left_f, BASE_N).astype(jnp.uint8)
+    right_f = jnp.where(right_f < BASE_N, right_f, BASE_N).astype(jnp.uint8)
+
+    def comp_or_n(x):
+        return jnp.where(x < BASE_N, (3 - x) & 3, BASE_N).astype(jnp.uint8)
+
+    left = jnp.where(is_rc, comp_or_n(right_f), left_f)
+    right = jnp.where(is_rc, comp_or_n(left_f), right_f)
+
+    return {
+        "words": canon,
+        "valid": valid,
+        "left": left,
+        "right": right,
+        "is_rc": is_rc,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def extract_kmers_scan(codes, lengths, k: int):
     """Chop every read into canonical k-mers with flanking-base context.
 
     TPU-native version of ``chopKmer4read`` (prlHashReads.c:163): a rolling

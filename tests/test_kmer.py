@@ -103,3 +103,21 @@ def test_lex_less_matches_int(k, rng):
         [kops.kmer_to_int(x) < kops.kmer_to_int(y) for x, y in zip(a, b)]
     )
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("k", [13, 31, 63, 127])
+def test_extract_fast_matches_scan(k, rng):
+    L = k + 37
+    B = 6
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes[0, 9] = 4  # an N
+    codes[2, -5:] = 4
+    lengths = np.array([L, L - 3, L, k, L - 1, L], np.int32)
+    import jax.numpy as jnp
+    a = kops.extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+    b = kops.extract_kmers_scan(jnp.asarray(codes), jnp.asarray(lengths), k)
+    for key in ("valid", "is_rc", "left", "right"):
+        assert (np.asarray(a[key]) == np.asarray(b[key])).all(), key
+    va = np.asarray(a["valid"])
+    wa, wb = np.asarray(a["words"]), np.asarray(b["words"])
+    assert (wa[va] == wb[va]).all()
