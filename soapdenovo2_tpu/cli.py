@@ -126,7 +126,7 @@ def cmd_map(args) -> None:
     contigs = ck.load_contigs(args.prefix)
     mres = mp.run_map(cfg, contigs, k, batch_size=args.batch_size)
     fio.write_read_on_contig(args.prefix, mres.read_id, mres.ctg, mres.pos)
-    fio.write_read_in_gap(args.prefix, mres.gap_read_ids)
+    fio.write_read_in_gap(args.prefix, mres.gap_reads)
     fio.write_pe_grads(args.prefix, mres.pe_grads, cfg.max_rd_len)
 
 
@@ -143,18 +143,24 @@ def cmd_scaff(args) -> None:
     cvg = _load_contig_cvg(args.prefix, len(contigs))
     mres = mp.MapResult(
         read_id=rid, ctg=ctg, pos=pos,
-        gap_read_ids=fio.read_read_in_gap(args.prefix),
+        gap_read_ids=np.zeros((0,), np.int64),
         n_reads=int(grads[-1].end_read_id) if grads else 0,
         pe_grads=grads,
+        gap_reads=fio.read_read_in_gap(args.prefix),
     )
     sres = sf.run_scaff(
         mres, contigs, min_ctg_len=args.min_ctg_len, contig_cvg=cvg,
+        fill=args.fill_gaps,
     )
     ctg_len = np.zeros((2 * len(contigs),), np.int64)
     for t, s in enumerate(contigs):
         ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
     fio.write_scaf(args.prefix, sres.scaffolds, ctg_len)
     fio.write_scaf_seq(args.prefix, sres.seqs)
+    fio.write_fasta_generic(
+        args.prefix + ".gapSeq",
+        ((f"gap{i + 1}", s) for i, s in enumerate(sres.gap_seqs)),
+    )
     contig_stats = sim_utils.assembly_stats(contigs)
     fio.write_scaf_statistics(args.prefix, contig_stats, sres.stats)
     log.info("scaff: %s", sres.stats)

@@ -255,19 +255,44 @@ def read_read_on_contig(prefix: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray
     return arr[:, 0], arr[:, 1].astype(np.int32), arr[:, 2].astype(np.int32)
 
 
-def write_read_in_gap(prefix: str, read_ids: np.ndarray) -> None:
-    """*.readInGap.gz — candidate gap-filling reads (multi-contig hits)."""
+def write_read_in_gap(prefix: str, gap_reads) -> None:
+    """*.readInGap.gz — PE-anchored gap-filling read pool:
+    'anchor_ctg anchor_pos insert_size seq' per line (the combined role of
+    the reference's readInGap.gz + PEreadOnContig.gz)."""
+    from ..ops import kmer as kops
+
     with gzip.open(prefix + ".readInGap.gz", "wt") as fh:
-        for r in read_ids:
-            fh.write(f"{int(r)}\n")
+        for i in range(len(gap_reads)):
+            codes = np.frombuffer(gap_reads.seqs[i], np.uint8)
+            seq = kops.ascii_from_codes(codes).tobytes().decode()
+            fh.write(
+                f"{gap_reads.anchor_ctg[i] + 1}\t{gap_reads.anchor_pos[i]}"
+                f"\t{gap_reads.insert_size[i]}\t{seq}\n"
+            )
 
 
-def read_read_in_gap(prefix: str) -> np.ndarray:
+def read_read_in_gap(prefix: str):
+    from ..models.mapping import GapReads
+    from ..ops import kmer as kops
+
+    pool = GapReads.empty()
     try:
         with gzip.open(prefix + ".readInGap.gz", "rt") as fh:
-            return np.array([int(x) for x in fh if x.strip()], np.int64)
+            for line in fh:
+                t = line.split()
+                if len(t) < 4:
+                    continue
+                pool.anchor_ctg.append(int(t[0]) - 1)
+                pool.anchor_pos.append(int(t[1]))
+                pool.insert_size.append(int(t[2]))
+                pool.seqs.append(
+                    kops.codes_from_ascii(
+                        np.frombuffer(t[3].encode(), np.uint8)
+                    ).tobytes()
+                )
     except FileNotFoundError:
-        return np.zeros((0,), np.int64)
+        pass
+    return pool
 
 
 def write_scaf(prefix: str, scaffolds, ctg_len) -> None:

@@ -1,0 +1,222 @@
+"""Gap filling: local assembly of scaffold gaps from PE-anchored reads.
+
+Counterpart of standardPregraph/prlReadFillGap.c (``prlReadsCloseGap:1697``)
++ localAsm.c: reads whose mates map near a gap are pooled per gap
+(loadReads4gap:206 / attach1read2contig:59 semantics via PE position
+inference), a small de Bruijn table is built per gap, and a
+flank-to-flank walk bridges the gap (localGraph/searchFgap:792); a direct
+flank-overlap check handles negative gaps (the readsCrossGap:2092 case).
+
+Runs host-side: gaps are small, few, and independent — the heavy read
+placement was already done on device in the map stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional, Tuple
+
+from . import mapping as mp
+from . import scaffold as sf
+
+log = logging.getLogger("soapdenovo2_tpu.gapfill")
+
+_CODE2CHAR = "ACGTN"
+_RC = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+
+def _codes_to_str(b: bytes) -> str:
+    return "".join(_CODE2CHAR[min(c, 4)] for c in b)
+
+
+def _revcomp(s: str) -> str:
+    return s.encode().translate(_RC)[::-1].decode()
+
+
+@dataclasses.dataclass
+class GapFillStats:
+    n_gaps: int = 0
+    filled: int = 0
+    overlap_merged: int = 0
+    partial: int = 0
+
+
+def fill_gaps(
+    scaffolds: List[sf.Scaffold],
+    contig_seqs: List[str],
+    gap_reads: mp.GapReads,
+    k: int = 17,
+    flank: int = 100,
+    min_cov: int = 2,
+    progress: bool = True,
+) -> Tuple[List[str], List[str], GapFillStats]:
+    """Fill N-gaps in scaffolds.
+
+    Returns (scaffold_seqs, gap_seqs, stats); ``gap_seqs`` holds the
+    assembled bridge sequences (the *.gapSeq payload).
+    """
+    stats = GapFillStats()
+    # scaffold coordinates of every directed contig
+    ctg_coord: Dict[int, Tuple[int, int, bool]] = {}  # ctg -> (scaf, off, flipped)
+    scaf_layout = []
+    for si, sc in enumerate(scaffolds):
+        offs = []
+        acc = 0
+        for j, c in enumerate(sc.ctgs):
+            cl = len(contig_seqs[c >> 1])
+            offs.append(acc)
+            ctg_coord[c] = (si, acc, False)
+            ctg_coord[c ^ 1] = (si, acc, True)
+            acc += cl + (max(sc.gaps[j], 1) if j < len(sc.gaps) else 0)
+        scaf_layout.append((offs, acc))
+
+    # place gap reads into per-(scaffold, gap index) pools
+    pools: Dict[Tuple[int, int], List[str]] = {}
+    gapspans: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    for si, sc in enumerate(scaffolds):
+        offs, total = scaf_layout[si]
+        for j in range(len(sc.gaps)):
+            left_c = sc.ctgs[j]
+            gap_start = offs[j] + len(contig_seqs[left_c >> 1])
+            gap_end = offs[j + 1] if j + 1 < len(offs) else total
+            gapspans[(si, j)] = (gap_start, gap_end)
+
+    for i in range(len(gap_reads)):
+        c = gap_reads.anchor_ctg[i]
+        if c not in ctg_coord:
+            continue
+        si, off, flipped = ctg_coord[c]
+        p = gap_reads.anchor_pos[i]
+        ins = gap_reads.insert_size[i]
+        clen = len(contig_seqs[c >> 1])
+        seq = _codes_to_str(gap_reads.seqs[i])
+        rl = len(seq)
+        if not flipped:
+            # mate reads forward along scaffold; this read sits ~ins ahead
+            lo = off + p + max(ins - 3 * rl, 0)
+            hi = off + p + ins + rl
+        else:
+            coord = off + clen - p  # mate start in scaffold coords (approx)
+            hi = coord - max(ins - 3 * rl, 0)
+            lo = coord - ins - rl
+        for (sj, gj), (gs, ge) in gapspans.items():
+            if sj == si and lo <= ge and hi >= gs:
+                pools.setdefault((sj, gj), []).append(seq)
+
+    out_seqs: List[str] = []
+    gap_seqs: List[str] = []
+    for si, sc in enumerate(scaffolds):
+        parts: List[str] = []
+        for j, c in enumerate(sc.ctgs):
+            parts.append(sf._dir_ctg_seq(int(c), contig_seqs))
+            if j < len(sc.gaps):
+                stats.n_gaps += 1
+                left = parts[-1]
+                right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]), contig_seqs)
+                gap_est = max(int(sc.gaps[j]), 1)
+                bridge = _close_gap(
+                    left, right, pools.get((si, j), []), gap_est,
+                    k=k, flank=flank, min_cov=min_cov, stats=stats,
+                )
+                if bridge is None:
+                    parts.append("N" * gap_est)
+                else:
+                    kind, seq = bridge
+                    if kind == "overlap":
+                        # flanks overlap by `seq` bases: emit the right
+                        # contig trimmed, and mark its normal emission
+                        # (next outer iteration) for removal
+                        parts.append(right[seq:])
+                        parts.append("\0")  # marker: skip next piece
+                    else:
+                        gap_seqs.append(seq)
+                        parts.append(seq)
+        # resolve overlap markers: "\0" means the following contig was
+        # already emitted
+        final: List[str] = []
+        skip_next = False
+        for piece in parts:
+            if piece == "\0":
+                skip_next = True
+                continue
+            if skip_next:
+                skip_next = False
+                continue
+            final.append(piece)
+        out_seqs.append("".join(final))
+    if progress:
+        log.info(
+            "gapfill: %d/%d gaps closed (%d by overlap, %d partial)",
+            stats.filled + stats.overlap_merged, stats.n_gaps,
+            stats.overlap_merged, stats.partial,
+        )
+    return out_seqs, gap_seqs, stats
+
+
+def _close_gap(
+    left: str, right: str, reads: List[str], gap_est: int,
+    k: int, flank: int, min_cov: int, stats: GapFillStats,
+) -> Optional[Tuple[str, object]]:
+    """Try to bridge one gap.  Returns ("fill", seq) with the bridge
+    between the contigs, ("overlap", n) if the flanks directly overlap by
+    n bases, or None."""
+    # negative/tiny gap: direct overlap of flanks (readsCrossGap-style)
+    max_olap = min(len(left), len(right), max(gap_est, 0) + 3 * k + 50)
+    for n in range(max_olap, k - 1, -1):
+        if left[-n:] == right[:n]:
+            stats.overlap_merged += 1
+            return ("overlap", n)
+    if not reads:
+        return None
+
+    lf = left[-flank:]
+    rf = right[:flank]
+    # k-mer extension table from the gap reads (both strands) + flanks
+    nxt: Dict[str, Dict[str, int]] = {}
+
+    def add_seq(s: str, w: int = 1):
+        for i in range(len(s) - k):
+            km = s[i : i + k]
+            if "N" in km:
+                continue
+            b = s[i + k]
+            if b == "N":
+                continue
+            d = nxt.setdefault(km, {})
+            d[b] = d.get(b, 0) + w
+
+    for r in reads:
+        add_seq(r)
+        add_seq(_revcomp(r))
+    add_seq(lf, w=min_cov)  # flanks always trusted
+    add_seq(rf, w=min_cov)
+
+    # kmers of the right flank -> landing positions
+    landing: Dict[str, int] = {}
+    for i in range(len(rf) - k + 1):
+        km = rf[i : i + k]
+        if "N" not in km and km not in landing:
+            landing[km] = i
+
+    # greedy highest-coverage walk from the left flank until a right-flank
+    # k-mer is reached (searchFgap's flank-to-flank path, greedy variant)
+    max_len = gap_est + 4 * k + 200
+    bridge: List[str] = []
+    km = lf[-k:]
+    for _ in range(max_len):
+        if km in landing and len(bridge) >= k + landing[km]:
+            # lf+bridge ends with rf[land:land+k], so the right contig's
+            # base 0 aligns at len(bridge) - k - land past the left end
+            fill_len = len(bridge) - k - landing[km]
+            stats.filled += 1
+            return ("fill", "".join(bridge)[:fill_len])
+        d = nxt.get(km)
+        if not d:
+            return None
+        b, c = max(d.items(), key=lambda kv: (kv[1], kv[0]))
+        if c < min_cov:
+            return None
+        bridge.append(b)
+        km = km[1:] + b
+    return None

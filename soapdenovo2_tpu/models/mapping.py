@@ -171,6 +171,29 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len):
 
 
 @dataclasses.dataclass
+class GapReads:
+    """Unplaced reads anchored by their mapped mates — the gap-filling
+    read pool (the role of *.readInGap.gz + *.PEreadOnContig.gz,
+    prlRead2Ctg.c:863-880 / prlReadFillGap.c loadReads4gap:206).
+
+    ``anchor_ctg``/``anchor_pos`` locate the MAPPED mate; the read itself
+    is expected ~insert_size downstream of the mate's start along the
+    anchor contig's direction, on the opposite strand."""
+
+    anchor_ctg: List[int]  # directed contig of the mapped mate
+    anchor_pos: List[int]  # mate read-start position on it
+    insert_size: List[int]  # library insert size
+    seqs: List[bytes]  # 2-bit-coded read bytes (uint8 codes)
+
+    @staticmethod
+    def empty() -> "GapReads":
+        return GapReads([], [], [], [])
+
+    def __len__(self) -> int:
+        return len(self.seqs)
+
+
+@dataclasses.dataclass
 class MapResult:
     """Read->contig placements for the scaffolder (host arrays)."""
 
@@ -180,14 +203,22 @@ class MapResult:
     gap_read_ids: np.ndarray  # reads hitting >1 contig (readInGap candidates)
     n_reads: int
     pe_grads: List[rio.PeGrad]
+    gap_reads: "GapReads" = dataclasses.field(default_factory=lambda: GapReads.empty())
 
 
 def map_reads(
     batch_iter: Iterable[rio.ReadBatch],
     index: ContigIndex,
     progress: bool = True,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Map a read stream; returns (read_id, ctg, pos, gap_read_ids)."""
+    gap_pool: Optional[GapReads] = None,
+    insert_size: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Map a read stream; returns (read_id, ctg, pos, gap_read_ids, n).
+
+    When ``gap_pool`` is given, reads that did not place uniquely but
+    whose PE mate did are collected (with the mate as anchor) for gap
+    filling — pairs are adjacent (even, odd) rows within a batch.
+    """
     rid_list, ctg_list, pos_list, gap_list = [], [], [], []
     keys = jnp.asarray(index.keys)
     cid = jnp.asarray(index.cid)
@@ -210,6 +241,20 @@ def map_reads(
         ctg_list.append(ctg[sel])
         pos_list.append(position[sel])
         gap_list.append(ids[multi_np])
+        if gap_pool is not None and batch.start_id % 2 == 0:
+            half = batch.n // 2
+            for p in range(half):
+                a, b = 2 * p, 2 * p + 1
+                for me, mate in ((a, b), (b, a)):
+                    if mapped_np[mate] and (
+                        not mapped_np[me] or multi_np[me]
+                    ):
+                        gap_pool.seqs.append(
+                            batch.codes[me, : batch.lengths[me]].tobytes()
+                        )
+                        gap_pool.anchor_ctg.append(int(ctg[mate]))
+                        gap_pool.anchor_pos.append(int(position[mate]))
+                        gap_pool.insert_size.append(insert_size)
         n_reads += batch.n
     if rid_list:
         read_id = np.concatenate(rid_list)
@@ -236,6 +281,7 @@ def run_map(cfg, contig_seqs: List[str], k: int,
                  index.keys.shape[0], index.n_contigs)
     grads: List[rio.PeGrad] = []
     all_rid, all_ctg, all_pos, all_gap = [], [], [], []
+    gap_pool = GapReads.empty()
     next_id = 0
     for lib in sorted(cfg.libs_for_scaff(), key=lambda l: l.avg_ins):
         stream = rio.iter_lib_reads(lib, paired_only=True)
@@ -243,6 +289,7 @@ def run_map(cfg, contig_seqs: List[str], k: int,
             rio.batch_reads(stream, batch_size, cfg.max_rd_len,
                             start_id=next_id),
             index, progress=progress,
+            gap_pool=gap_pool, insert_size=lib.avg_ins,
         )
         next_id += n_lib
         grads.append(
@@ -264,4 +311,5 @@ def run_map(cfg, contig_seqs: List[str], k: int,
         gap_read_ids=np.concatenate(all_gap) if all_gap else np.zeros((0,), np.int64),
         n_reads=next_id,
         pe_grads=grads,
+        gap_reads=gap_pool,
     )

@@ -346,6 +346,7 @@ class ScaffResult:
     scaffolds: List[Scaffold]
     seqs: List[str]
     stats: dict
+    gap_seqs: List[str] = dataclasses.field(default_factory=list)
 
 
 def run_scaff(
@@ -353,6 +354,7 @@ def run_scaff(
     contig_seqs: List[str],
     min_ctg_len: int = 0,
     contig_cvg: Optional[np.ndarray] = None,
+    fill: bool = False,
     progress: bool = True,
 ) -> ScaffResult:
     n = len(contig_seqs)
@@ -380,11 +382,21 @@ def run_scaff(
         id_lo = g.end_read_id
 
     scaffolds = sc.result()
-    seqs = [scaffold_sequence(s, contig_seqs) for s in scaffolds]
+    gap_seqs: List[str] = []
+    if fill and len(map_result.gap_reads):
+        from . import gapfill
+
+        seqs, gap_seqs, fstats = gapfill.fill_gaps(
+            scaffolds, contig_seqs, map_result.gap_reads, progress=progress,
+        )
+    else:
+        seqs = [scaffold_sequence(s, contig_seqs) for s in scaffolds]
     stats = sim_utils.assembly_stats(seqs)
     if progress:
         log.info("scaff: %s", stats)
-    return ScaffResult(scaffolds=scaffolds, seqs=seqs, stats=stats)
+    return ScaffResult(
+        scaffolds=scaffolds, seqs=seqs, stats=stats, gap_seqs=gap_seqs
+    )
 
 
 _RC = bytes.maketrans(b"ACGTN", b"TGCAN")
