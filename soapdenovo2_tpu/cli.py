@@ -106,9 +106,10 @@ def cmd_contig(args) -> None:
     from .models import contig as cm
 
     g = ck.load_contig_graph(args.prefix)
+    paths = ck.load_paths(args.prefix) if args.resolve_repeats else None
     res = cm.run_contig_graph(
         g, merge_bubbles=args.merge_level > 0,
-        de_low_edge=args.edge_cov_cutoff,
+        de_low_edge=args.edge_cov_cutoff, paths=paths,
     )
     n = ck.write_contigs(args.prefix, res.graph)
     log.info("contig: %d contigs, stats %s", n, res.stats)

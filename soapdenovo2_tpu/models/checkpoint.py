@@ -98,9 +98,34 @@ def write_pregraph(prefix: str, pre: pg.PregraphResult,
     order = np.lexsort((fkeys[:, 1], fkeys[:, 0]))
     fio.write_pre_arcs(prefix, fkeys[order], amult[order])
     fio.write_mark_on_edge(prefix, pre.marker_on_edge)
+    if pre.paths is not None:
+        write_paths(prefix, pre.paths, dir_to_file)
     if grads is not None:
         fio.write_pe_grads(prefix, grads, pre.max_read_len)
     log.info("pregraph checkpoint: %d vertices, %d edge records", n_vertex, n_rec)
+
+
+def write_paths(prefix: str, paths, dir_to_file: np.ndarray) -> None:
+    """*.path — read paths (>=3 edges) in 1-based file edge ids
+    (prlRead2path.c recordPathBin:482, as text)."""
+    with open(prefix + ".path", "w") as fh:
+        for p in paths:
+            fh.write(" ".join(str(int(dir_to_file[e])) for e in p) + "\n")
+
+
+def load_paths(prefix: str):
+    """Load *.path into 0-based directed edge ids of load_contig_graph's
+    numbering (file id - 1)."""
+    paths = []
+    try:
+        with open(prefix + ".path") as fh:
+            for line in fh:
+                t = line.split()
+                if len(t) >= 3:
+                    paths.append(np.array([int(x) - 1 for x in t], np.int64))
+    except FileNotFoundError:
+        return None
+    return paths
 
 
 def load_contig_graph(prefix: str) -> cm.ContigGraph:

@@ -230,6 +230,118 @@ def cut_tips_in_graph(g: ContigGraph, cut_len: int = 0) -> int:
 
 
 # ---------------------------------------------------------------------------
+# repeat resolution by read paths (-R)
+# ---------------------------------------------------------------------------
+
+
+def solve_reps(g: ContigGraph, paths: List[np.ndarray],
+               max_branch: int = 20) -> int:
+    """splitReps.c ``solveReps:591``: split repeat edges whose in/out
+    pairings are resolved by read paths.
+
+    A repeat edge e with in-degree == out-degree >= 2 is solvable when
+    every upstream edge has out-degree 1 and every downstream edge has
+    in-degree 1 (``solvable:237``), and the involved edge set has no
+    duplicates or twin collisions (``interferingCheck``).  Where the
+    reference checks read-id membership on all three edges
+    (``cntByReads:172``), we count ordered (left, e, right) triples in the
+    recorded read paths — strictly stronger evidence.
+    """
+    # triple support counts from read paths
+    support: Dict[Tuple[int, int, int], int] = {}
+    for path in paths:
+        for t in range(len(path) - 2):
+            key = (int(path[t]), int(path[t + 1]), int(path[t + 2]))
+            support[key] = support.get(key, 0) + 1
+
+    n_split = 0
+    n_orig = g.n_edges
+    for e in range(n_orig):
+        if g.deleted[e] or g.twin[e] == e:
+            continue
+        rights = [t for t, _ in g.live_arcs(e)]
+        lefts = [int(g.twin[t]) for t, _ in g.live_arcs(int(g.twin[e]))]
+        d = len(lefts)
+        if d < 2 or len(rights) != d or d > max_branch:
+            continue
+        ok = True
+        for r in rights:
+            if g.twin[r] == r or len(g.live_arcs(int(g.twin[r]))) != 1:
+                ok = False
+                break
+        for l in lefts:
+            if not ok or g.twin[l] == l or len(g.live_arcs(l)) != 1:
+                ok = False
+                break
+        if not ok:
+            continue
+        involved = [e] + lefts + rights
+        if len(set(involved)) != len(involved):
+            continue
+        if any(int(g.twin[x]) in involved for x in involved):
+            continue
+        # pair lefts with rights by read support (first supported right);
+        # a read may traverse the triple in either strand direction
+        go = [
+            [
+                support.get((l, e, r), 0)
+                + support.get(
+                    (int(g.twin[r]), int(g.twin[e]), int(g.twin[l])), 0
+                )
+                for r in rights
+            ]
+            for l in lefts
+        ]
+        used_r = set()
+        pairs = []
+        for i in range(1, d):
+            j = next(
+                (j for j in range(d) if go[i][j] > 0 and j not in used_r),
+                None,
+            )
+            if j is None:
+                pairs = None
+                break
+            used_r.add(j)
+            pairs.append((i, j))
+        if pairs is None:
+            continue
+        for i, j in pairs:
+            _split_copy(g, e, lefts[i], rights[j])
+        n_split += 1
+    return n_split
+
+
+def _split_copy(g: ContigGraph, e: int, left: int, right: int) -> None:
+    """Copy edge e to a new edge serving only the (left -> right) route
+    (split1edge/cp1edge/moveArc2cp)."""
+    t = int(g.twin[e])
+    new_e = g.n_edges
+    new_t = new_e + 1
+    g.seqs.append(g.seqs[e].copy())
+    g.seqs.append(g.seqs[t].copy())
+    g.cvg10 = np.append(g.cvg10, [g.cvg10[e], g.cvg10[t]])
+    g.twin = np.append(g.twin, [new_t, new_e]).astype(g.twin.dtype)
+    g.deleted = np.append(g.deleted, [False, False])
+    g.arcs.append({})
+    g.arcs.append({})
+    if g.marker is not None:
+        g.marker = np.append(g.marker, [g.marker[e], g.marker[t]])
+
+    tl, tr = int(g.twin[left]), int(g.twin[right])
+    # move left->e to left->new_e (mirror: t->tl becomes new_t->tl)
+    w1 = g.arcs[left].pop(e, 1)
+    g.arcs[t].pop(tl, None)
+    g.arcs[left][new_e] = w1
+    g.arcs[new_t][tl] = w1
+    # move e->right to new_e->right (mirror: tr->t becomes tr->new_t)
+    w2 = g.arcs[e].pop(right, 1)
+    g.arcs[tr].pop(t, None)
+    g.arcs[new_e][right] = w2
+    g.arcs[tr][new_t] = w2
+
+
+# ---------------------------------------------------------------------------
 # bubble popping (simplified tour-bus)
 # ---------------------------------------------------------------------------
 
@@ -392,7 +504,7 @@ def run_contig(
 ) -> ContigResult:
     return run_contig_graph(
         from_pregraph(pre), merge_bubbles=merge_bubbles,
-        de_low_edge=de_low_edge, progress=progress,
+        de_low_edge=de_low_edge, paths=pre.paths, progress=progress,
     )
 
 
@@ -400,10 +512,14 @@ def run_contig_graph(
     g: ContigGraph,
     merge_bubbles: bool = True,
     de_low_edge: int = 1,
+    paths: Optional[List[np.ndarray]] = None,
     progress: bool = True,
 ) -> ContigResult:
     """contig.c call_heavygraph:61 pipeline over a loaded edge graph."""
     k = g.k
+    n_reps = solve_reps(g, paths) if paths else 0
+    if progress and paths:
+        log.info("solveReps: %d repeat(s) split", n_reps)
     n_weak = remove_weak_edges(g, 2 * k, 1)
     n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0
     linear_concatenate(g)
