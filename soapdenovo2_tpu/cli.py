@@ -73,6 +73,23 @@ def build_parser() -> argparse.ArgumentParser:
     _contig_args(sub.add_parser("contig", help="contig assembly"))
     _map_args(sub.add_parser("map", help="map reads to contigs"))
     _scaff_args(sub.add_parser("scaff", help="scaffolding"))
+    fus = sub.add_parser(
+        "fusion", help="scaffold external contigs (SOAPdenovo-fusion)"
+    )
+    fus.add_argument("-D", dest="prepare", action="store_true",
+                     help="import contigs into the stage file protocol")
+    fus.add_argument("-M", dest="do_map", action="store_true",
+                     help="map reads onto the imported contigs")
+    fus.add_argument("-S", dest="do_scaff", action="store_true",
+                     help="scaffold the imported contigs")
+    fus.add_argument("-c", dest="contig_fasta", help="contig FASTA (-D)")
+    fus.add_argument("-s", dest="config", help="read config (-M/-S)")
+    fus.add_argument("-K", dest="kmer", type=int, default=23)
+    fus.add_argument("-g", dest="prefix", required=True)
+    fus.add_argument("-F", dest="fill_gaps", action="store_true")
+    fus.add_argument("-L", dest="min_ctg_len", type=int, default=0)
+    fus.add_argument("-p", dest="ncpu", type=int, default=8)
+    fus.add_argument("--batch", dest="batch_size", type=int, default=2048)
     allp = sub.add_parser("all", help="full pipeline")
     _common_pregraph_args(allp)
     allp.add_argument("-M", dest="merge_level", type=int, default=1)
@@ -183,6 +200,28 @@ def _load_contig_cvg(prefix: str, n: int) -> Optional[np.ndarray]:
         return None
 
 
+def cmd_fusion(args) -> None:
+    from .models import fusion
+
+    did = False
+    if args.prepare:
+        if not args.contig_fasta:
+            raise SystemExit("fusion -D requires -c contigs.fa")
+        fusion.data_prepare(args.contig_fasta, args.prefix, args.kmer)
+        did = True
+    if args.do_map:
+        if not args.config:
+            raise SystemExit("fusion -M requires -s config")
+        args.map_kmer = 0
+        cmd_map(args)
+        did = True
+    if args.do_scaff:
+        cmd_scaff(args)
+        did = True
+    if not did:
+        raise SystemExit("fusion: pass at least one of -D / -M / -S")
+
+
 def cmd_all(args) -> None:
     t0 = time.time()
     cmd_pregraph(args)
@@ -210,6 +249,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         cmd_map(args)
     elif args.cmd == "scaff":
         cmd_scaff(args)
+    elif args.cmd == "fusion":
+        cmd_fusion(args)
     elif args.cmd == "all":
         cmd_all(args)
     return 0

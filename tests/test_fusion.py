@@ -1,0 +1,44 @@
+"""Fusion mode: import external contigs, map reads, scaffold them."""
+
+import os
+
+from soapdenovo2_tpu import cli
+from soapdenovo2_tpu.io import files as fio
+from soapdenovo2_tpu.utils import simulate as sim
+
+K = 23
+
+
+def test_fusion_scaffolds_external_contigs(tmp_path):
+    d = str(tmp_path)
+    # "external assembler" output: two contigs with a gap between them
+    A = sim.random_genome(1500, seed=301)
+    M = sim.random_genome(180, seed=302)
+    B = sim.random_genome(1500, seed=303)
+    genome = A + M + B
+    fio.write_fasta_generic(
+        os.path.join(d, "external.fa"),
+        [("ctgA", A.decode()), ("ctgB", B.decode())],
+    )
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=100, insert_size=500,
+                                   coverage=30.0, seed=304)
+    sim.write_fastq(os.path.join(d, "f_1.fastq"), r1)
+    sim.write_fastq(os.path.join(d, "f_2.fastq"), r2)
+    with open(os.path.join(d, "f.config"), "w") as fh:
+        fh.write(
+            "max_rd_len=100\n[LIB]\navg_ins=500\nreverse_seq=0\n"
+            f"asm_flags=3\nrank=1\npair_num_cutoff=3\n"
+            f"q1={d}/f_1.fastq\nq2={d}/f_2.fastq\n"
+        )
+    prefix = os.path.join(d, "fus")
+    cli.main(["fusion", "-D", "-c", os.path.join(d, "external.fa"),
+              "-K", str(K), "-g", prefix])
+    assert os.path.exists(prefix + ".contig")
+    assert os.path.exists(prefix + ".conver")
+    cli.main(["fusion", "-M", "-s", os.path.join(d, "f.config"),
+              "-g", prefix])
+    cli.main(["fusion", "-S", "-F", "-g", prefix])
+    scafs = [s for _, s in fio.read_fasta(prefix + ".scafSeq")]
+    best = max(scafs, key=len)
+    # both contigs joined in one scaffold
+    assert len(best) >= len(A) + len(B)
