@@ -73,6 +73,20 @@ def build_parser() -> argparse.ArgumentParser:
     _contig_args(sub.add_parser("contig", help="contig assembly"))
     _map_args(sub.add_parser("map", help="map reads to contigs"))
     _scaff_args(sub.add_parser("scaff", help="scaffolding"))
+    sp = sub.add_parser(
+        "sparse_pregraph", help="sparse k-mer graph build (low-memory)"
+    )
+    sp.add_argument("-s", dest="config", required=True)
+    sp.add_argument("-K", dest="kmer", type=int, default=23)
+    sp.add_argument("-o", dest="prefix", required=True)
+    sp.add_argument("-g", dest="gap", type=int, default=15,
+                    help="sampling gap: keep ~1/g of k-mers (<= 25)")
+    sp.add_argument("-z", dest="genome_size", type=int, default=0,
+                    help="accepted for compatibility (auto-sized tables)")
+    sp.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)
+    sp.add_argument("-e", dest="edge_cov_cutoff", type=int, default=1)
+    sp.add_argument("-p", dest="ncpu", type=int, default=8)
+    sp.add_argument("--batch", dest="batch_size", type=int, default=4096)
     fus = sub.add_parser(
         "fusion", help="scaffold external contigs (SOAPdenovo-fusion)"
     )
@@ -200,6 +214,19 @@ def _load_contig_cvg(prefix: str, n: int) -> Optional[np.ndarray]:
         return None
 
 
+def cmd_sparse_pregraph(args) -> None:
+    from .config import parse_config
+    from .models import sparse
+
+    cfg = parse_config(args.config)
+    sparse.run_sparse_pregraph(
+        cfg, args.kmer, args.prefix, gap=args.gap,
+        node_cov_cutoff=args.kmer_freq_cutoff,
+        edge_cov_cutoff=args.edge_cov_cutoff,
+        batch_size=args.batch_size,
+    )
+
+
 def cmd_fusion(args) -> None:
     from .models import fusion
 
@@ -249,6 +276,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         cmd_map(args)
     elif args.cmd == "scaff":
         cmd_scaff(args)
+    elif args.cmd == "sparse_pregraph":
+        cmd_sparse_pregraph(args)
     elif args.cmd == "fusion":
         cmd_fusion(args)
     elif args.cmd == "all":

@@ -1,0 +1,426 @@
+"""Sparse pregraph: sampled de Bruijn graph with packed k-mer-edges.
+
+TPU-native re-design of the reference's sparsePregraph module
+(pregraph_sparse.cpp ``call_pregraph_sparse:83``, build_graph.cpp,
+build_edge.cpp, convert_soapdenovo.cpp): keep only ~1/g of all k-mers as
+graph nodes and link consecutive kept k-mers along each read with short
+"k-mer edges" (<= g bases), cutting table memory (and sort volume)
+several-fold — the reference's stated motivation (README.md:126-139).
+
+Where the reference samples by insertion order (a k-mer is kept if no
+kept k-mer exists within distance g — stream-order dependent,
+build_graph.cpp ``process_round1_threaded:104``), we sample
+**deterministically by hash**: a k-mer is a node iff
+``hash(kmer) % g == 0`` (minimizer-style).  Selection is then a pure
+function of the k-mer — identical across reads, batches, devices, and
+runs — so round-1/round-2 of the reference collapse into a single
+extract -> filter -> pair -> sort/reduce pass.
+
+Output: standard pregraph stage files (*.edge.gz, *.preArc,
+*.preGraphBasic, *.vertex) via convert (the convert_soapdenovo.cpp:248
+role), so contig/map/scaff run unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AssemblyConfig
+from ..io import reads as rio
+from ..ops import kmer as kops
+from ..ops import sortcount as sc
+
+log = logging.getLogger("soapdenovo2_tpu.sparse")
+
+MAX_GAP = 25  # reference: sparse gap g <= 25 (pregraph_sparse.cpp usage)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "gap"))
+def _sparse_batch(codes, lengths, k: int, gap: int):
+    """Extract selected k-mers + k-mer-edges from one read batch.
+
+    Returns flat arrays over all read positions:
+      node_words (N, W), node_valid (N,)          — selected k-mer occurrences
+      edge_src (N, W), edge_orient (N,), edge_len (N,),
+      edge_b0, edge_b1 (N,) uint32 packed bases,  edge_valid (N,)
+          — an edge from the PREVIOUS selected k-mer to this one
+    """
+    out = kops.extract_kmers(codes, lengths, k)
+    words = out["words"]  # (B, P, W)
+    valid = out["valid"]
+    B, P, W = words.shape
+
+    # minimizer selection: a k-mer is a node iff it is the hash-minimum of
+    # SOME length-``gap`` window, i.e. iff the distances to the nearest
+    # strictly-smaller hash on each side sum to > gap.  Deterministic per
+    # k-mer pair, consistent across reads/strands (canonical hashes), and
+    # guarantees consecutive nodes within <= gap positions — unlike the
+    # reference's stream-order-dependent sampling (build_graph.cpp round 1).
+    h = jnp.where(valid, kops.hash_words(words), jnp.uint32(0xFFFFFFFF))
+    big = jnp.uint32(0xFFFFFFFF)
+
+    def shifted(x, off):
+        """x[:, p + off] with out-of-range -> big."""
+        if off == 0:
+            return x
+        pad = jnp.full((B, abs(off)), big, x.dtype)
+        if off > 0:
+            return jnp.concatenate([x[:, off:], pad], axis=1)
+        return jnp.concatenate([pad, x[:, :off]], axis=1)
+
+    w_int = gap
+    dprev = jnp.full((B, P), w_int, jnp.int32)
+    dnext = jnp.full((B, P), w_int, jnp.int32)
+    ctx = valid  # selection needs the FULL window context, else a k-mer's
+    # selection would depend on where reads happen to end (inconsistent
+    # across reads); boundary occurrences simply don't emit nodes
+    for a in range(1, w_int):
+        hp = shifted(h, -a)
+        hn = shifted(h, a)
+        dprev = jnp.where((dprev == w_int) & (hp < h), a, dprev)
+        dnext = jnp.where((dnext == w_int) & (hn < h), a, dnext)
+        ctx = ctx & (hp != big) & (hn != big)
+    selected = ctx & (dprev + dnext >= w_int + 1)
+
+    # previous selected position per position (exclusive scan)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+    sel_pos = jnp.where(selected, pos, -1)
+
+    def combine(a, b):
+        return jnp.where(b >= 0, b, a)
+
+    prev = jax.lax.associative_scan(combine, sel_pos, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), prev[:, :-1]], axis=1
+    )
+
+    dist = pos - prev
+    edge_ok = selected & (prev >= 0) & (dist <= gap)
+    prev_safe = jnp.maximum(prev, 0)
+
+    # pack the intervening bases codes[prev+k .. pos+k-1] (== dist bases,
+    # the last bases of k-mers prev+1..pos) into 2*gap bits (<=50 w/ g=25)
+    # b0 holds bases 0..15, b1 bases 16.., first base most significant.
+    def body(i, st):
+        b0, b1 = st
+        idx = jnp.minimum(prev_safe + k + i, codes.shape[1] - 1)
+        base = jnp.take_along_axis(codes, idx, axis=1).astype(jnp.uint32) & 3
+        use = i < dist
+        shift0 = jnp.clip(2 * (dist - 1 - i), 0, 31).astype(jnp.uint32)
+        in_b0 = (dist - 1 - i) < 16
+        zero = jnp.uint32(0)
+        add0 = jnp.where(use & in_b0, base << shift0, zero)
+        shift1 = jnp.clip(2 * (dist - 1 - i - 16), 0, 31).astype(jnp.uint32)
+        add1 = jnp.where(use & ~in_b0, base << shift1, zero)
+        return b0 | add0, b1 | add1
+
+    zeros = jnp.zeros((B, P), jnp.uint32)
+    b0, b1 = jax.lax.fori_loop(0, gap, body, (zeros, zeros))
+
+    src_words = words[jnp.arange(B)[:, None], prev_safe]  # (B, P, W)
+    src_orient = out["is_rc"][jnp.arange(B)[:, None], prev_safe]
+
+    flat = lambda x: x.reshape((B * P,) + x.shape[2:])
+    return {
+        "node_words": flat(words),
+        "node_valid": selected.reshape(B * P),
+        "edge_src": flat(src_words),
+        "edge_src_orient": src_orient.reshape(B * P).astype(jnp.uint8),
+        "edge_dst_orient": out["is_rc"].reshape(B * P).astype(jnp.uint8),
+        "edge_len": jnp.where(edge_ok, dist, 0).reshape(B * P).astype(jnp.uint8),
+        "edge_b0": b0.reshape(B * P),
+        "edge_b1": b1.reshape(B * P),
+        "edge_valid": edge_ok.reshape(B * P),
+    }
+
+
+@dataclasses.dataclass
+class SparseGraph:
+    """Host-side sparse graph: sampled nodes + packed kmer-edges."""
+
+    k: int
+    gap: int
+    node_words: np.ndarray  # (N, W) sorted unique selected k-mers
+    node_cov: np.ndarray  # (N,) occurrence counts (capped 255)
+    # directed edges in traversal orientation, canonical-src keyed
+    edges: Dict[Tuple, int]  # (src_idx, src_o, len, b0, b1) -> cov
+
+
+def build_sparse_graph(
+    batches: Iterable[rio.ReadBatch], k: int, gap: int = 15,
+) -> SparseGraph:
+    """Single-pass sparse graph build (replaces the reference's two
+    rounds — deterministic selection needs no pre-population)."""
+    kops.validate_k(k)
+    gap = min(gap, MAX_GAP)
+    node_keys: List[np.ndarray] = []
+    edge_rows: List[np.ndarray] = []
+    w = kops.num_words(k)
+    for batch in batches:
+        outb = _sparse_batch(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k, gap
+        )
+        nv = np.asarray(outb["node_valid"])
+        nw = np.asarray(outb["node_words"])[nv]
+        node_keys.append(nw)
+        ev = np.asarray(outb["edge_valid"])
+        if ev.any():
+            src = np.asarray(outb["edge_src"])[ev]
+            so = np.asarray(outb["edge_src_orient"])[ev].astype(np.uint32)
+            el = np.asarray(outb["edge_len"])[ev].astype(np.uint32)
+            b0 = np.asarray(outb["edge_b0"])[ev]
+            b1 = np.asarray(outb["edge_b1"])[ev]
+            edge_rows.append(
+                np.column_stack([src, (so | (el << 8)), b0, b1])
+            )
+    # vectorized edge dedup/count (sort + run-length, no python dict loop)
+    edge_accum: Dict[Tuple, int] = {}
+    if edge_rows:
+        rows = np.concatenate(edge_rows)
+        order = np.lexsort(
+            tuple(rows[:, i] for i in range(rows.shape[1] - 1, -1, -1))
+        )
+        rows = rows[order]
+        new = np.ones((rows.shape[0],), bool)
+        new[1:] = (rows[1:] != rows[:-1]).any(axis=1)
+        counts = np.bincount(np.cumsum(new) - 1)
+        urows = rows[new]
+        for i in range(urows.shape[0]):
+            so_el = int(urows[i, w])
+            edge_accum[
+                (urows[i, :w].tobytes(), so_el & 0xFF, so_el >> 8,
+                 int(urows[i, w + 1]), int(urows[i, w + 2]))
+            ] = int(counts[i])
+    if node_keys:
+        allk = np.concatenate(node_keys)
+    else:
+        allk = np.zeros((0, w), np.uint32)
+    if allk.shape[0]:
+        order = np.lexsort(
+            tuple(allk[:, i] for i in range(allk.shape[1] - 1, -1, -1))
+        )
+        allk = allk[order]
+        new = np.ones((allk.shape[0],), bool)
+        new[1:] = (allk[1:] != allk[:-1]).any(axis=1)
+        uniq = allk[new]
+        grp = np.cumsum(new) - 1
+        cov = np.bincount(grp)
+    else:
+        uniq = allk
+        cov = np.zeros((0,), np.int64)
+
+    # map edge src bytes -> node index
+    idx_of = {uniq[i].tobytes(): i for i in range(uniq.shape[0])}
+    edges: Dict[Tuple, int] = {}
+    for (sb, so, el, b0, b1), c in edge_accum.items():
+        si = idx_of.get(sb)
+        if si is None:
+            continue
+        edges[(si, so, el, b0, b1)] = c
+    return SparseGraph(
+        k=k, gap=gap, node_words=uniq,
+        node_cov=np.minimum(cov, 255).astype(np.int32), edges=edges,
+    )
+
+
+def _unpack_edge_bases(el: int, b0: int, b1: int) -> List[int]:
+    out = []
+    for i in range(el):
+        p = el - 1 - i
+        if p < 16:
+            out.append((b0 >> (2 * p)) & 3)
+        else:
+            out.append((b1 >> (2 * (p - 16))) & 3)
+    return out
+
+
+def prune_sparse(g: SparseGraph, node_cov_cutoff: int = 1,
+                 edge_cov_cutoff: int = 1) -> SparseGraph:
+    """RemovingWeakNodesAndEdges2 (build_edge.cpp:52): drop low-coverage
+    nodes and edges."""
+    keep_node = g.node_cov > node_cov_cutoff
+    edges = {
+        key: c
+        for key, c in g.edges.items()
+        if c > edge_cov_cutoff and keep_node[key[0]]
+    }
+    # nodes keep their indices; deleted nodes simply lose their edges
+    g2 = SparseGraph(
+        k=g.k, gap=g.gap, node_words=g.node_words,
+        node_cov=np.where(keep_node, g.node_cov, 0), edges=edges,
+    )
+    return g2
+
+
+def run_sparse_pregraph(
+    cfg: AssemblyConfig,
+    k: int,
+    prefix: str,
+    gap: int = 15,
+    node_cov_cutoff: int = 1,
+    edge_cov_cutoff: int = 1,
+    batch_size: int = 4096,
+    progress: bool = True,
+) -> List[Tuple[str, float]]:
+    """Sparse pregraph driver: reads -> sampled graph -> unitigs.
+
+    Emits *.contig / *.ContigIndex / *.preGraphBasic directly (the sparse
+    graph's unitig walk subsumes the dense path's pregraph+contig
+    contraction; graph-cleaning refinements on the sparse graph itself are
+    pruning-based, see prune_sparse).  Continue with map + scaff.
+    """
+    from ..io import files as fio
+
+    def stream():
+        for lib in cfg.libs_for_contig():
+            yield from rio.iter_lib_reads(lib)
+
+    g = build_sparse_graph(
+        rio.batch_reads(stream(), batch_size, cfg.max_rd_len), k, gap
+    )
+    if progress:
+        log.info(
+            "sparse graph: %d nodes (1/%d sampling), %d raw edges",
+            g.node_words.shape[0], g.gap, len(g.edges),
+        )
+    g = prune_sparse(g, node_cov_cutoff, edge_cov_cutoff)
+    unitigs = sparse_to_unitigs(g)
+    unitigs = [(s, c) for s, c in unitigs if len(s) >= k + 2]
+    unitigs.sort(key=lambda x: (-len(x[0]), x[0]))
+    records = [(i + 1, s, c) for i, (s, c) in enumerate(unitigs)]
+    fio.write_contigs(prefix, records)
+    with open(prefix + ".ContigIndex", "w") as fh:
+        fh.write(f"Edge_num {len(records)}\n")
+        for cid, seq, cvg in records:
+            fh.write(f"{cid}\t{len(seq)}\t{cvg:.1f}\n")
+    fio.write_pre_graph_basic(prefix, 0, k, 2 * len(records), cfg.max_rd_len)
+    if progress:
+        from ..utils.simulate import assembly_stats
+
+        log.info("sparse unitigs: %s",
+                 assembly_stats([s for s, _ in unitigs]))
+    return unitigs
+
+
+def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
+    """Walk unambiguous sparse chains into unitig sequences
+    (build_edge.cpp kmer2edges:888, host-side over the small graph).
+
+    Returns (sequence, mean_node_cov) per unitig (each reported once,
+    canonical orientation chosen lexicographically).
+    """
+    k = g.k
+    keys = g.node_words
+    idx_of = {keys[i].tobytes(): i for i in range(keys.shape[0])}
+
+    def state_kmer(i: int, o: int) -> np.ndarray:
+        wds = keys[i]
+        if o:
+            wds = np.asarray(
+                kops.reverse_complement(jnp.asarray(wds)[None], k)
+            )[0]
+        return wds
+
+    def seq_of_state(st) -> str:
+        return kops.kmer_to_string(state_kmer(*st), k)
+
+    # adjacency with both directions; dedup identical (src, bases, dst)
+    # since an edge may be observed directly on both strands AND mirrored
+    edge_cov: Dict[Tuple, int] = {}
+    for (si, so, el, b0, b1), cov in g.edges.items():
+        if g.node_cov[si] == 0:
+            continue
+        bases = tuple(_unpack_edge_bases(el, b0, b1))
+        # destination k-mer: walk src's oriented k-mer through the bases
+        wds = jnp.asarray(state_kmer(si, so))[None]
+        for b in bases:
+            wds = kops.shift_left_append(wds, jnp.uint32(b), k)
+        dst_plain = np.asarray(wds)[0]
+        rc = np.asarray(
+            kops.reverse_complement(jnp.asarray(dst_plain)[None], k)
+        )[0]
+        if kops.kmer_to_int(rc) < kops.kmer_to_int(dst_plain):
+            dst_key, do = rc, 1
+        else:
+            dst_key, do = dst_plain, 0
+        di = idx_of.get(dst_key.tobytes())
+        if di is None or g.node_cov[di] == 0:
+            continue
+        edge_cov[((si, so), bases, (di, do))] = (
+            edge_cov.get(((si, so), bases, (di, do)), 0) + cov
+        )
+        # mirror: flip(dst) -> flip(src); its bases are
+        # comp(reverse(first m bases of the src oriented k-mer string))
+        src_str = seq_of_state((si, so))
+        m = len(bases)
+        mbases = tuple(
+            (3 - int(kops._BASE_FROM_CHAR[ord(c)])) & 3
+            for c in reversed(src_str[:m])
+        )
+        mkey = ((di, 1 - do), mbases, (si, 1 - so))
+        edge_cov[mkey] = edge_cov.get(mkey, 0) + cov
+
+    adj: Dict[Tuple[int, int], List[Tuple[Tuple[int, ...], Tuple[int, int], int]]] = {}
+    radj: Dict[Tuple[int, int], int] = {}
+    for (st, bases, dst), cov in edge_cov.items():
+        adj.setdefault(st, []).append((bases, dst, cov))
+        radj[dst] = radj.get(dst, 0) + 1
+
+    # emit unitigs exactly like the dense edge builder: a chain starts at
+    # every branch exit (state with out-degree != 1: each of its edges)
+    # and at every head (in-degree != 1), then extends while unambiguous
+    out: List[Tuple[str, float]] = []
+    guard = set()
+
+    def walk(start, first):
+        bases, dst, _ = first
+        seq = seq_of_state(start) + "".join("ACGT"[b] for b in bases)
+        covs = [int(g.node_cov[start[0]]), int(g.node_cov[dst[0]])]
+        cur = dst
+        steps = 0
+        while (
+            radj.get(cur, 0) == 1
+            and len(adj.get(cur, [])) == 1
+            and cur not in guard
+            and steps < len(edge_cov) + 2
+        ):
+            guard.add(cur)
+            bases, nxt, _ = adj[cur][0]
+            seq += "".join("ACGT"[b] for b in bases)
+            covs.append(int(g.node_cov[nxt[0]]))
+            cur = nxt
+            steps += 1
+        out.append((seq, float(np.mean(covs))))
+
+    for i in range(keys.shape[0]):
+        if g.node_cov[i] == 0:
+            continue
+        isolated = True
+        for o in (0, 1):
+            st = (i, o)
+            outs = adj.get(st, [])
+            if outs or radj.get(st, 0):
+                isolated = False
+            if not outs:
+                continue
+            if len(outs) > 1 or radj.get(st, 0) != 1:
+                for e in outs:
+                    walk(st, e)
+        if isolated:
+            out.append((seq_of_state((i, 0)), float(g.node_cov[i])))
+    # deduplicate twins: keep lexicographically smaller of (seq, rc)
+    comp = bytes.maketrans(b"ACGTN", b"TGCAN")
+    dedup: Dict[str, Tuple[str, float]] = {}
+    for seq, cov in out:
+        rc = seq.encode().translate(comp)[::-1].decode()
+        key = min(seq, rc)
+        if key not in dedup or len(seq) > len(dedup[key][0]):
+            dedup[key] = (key, cov)
+    return list(dedup.values())
