@@ -283,11 +283,14 @@ def run_map(cfg, contig_seqs: List[str], k: int,
     all_rid, all_ctg, all_pos, all_gap = [], [], [], []
     gap_pool = GapReads.empty()
     next_id = 0
+    from ..io import native_reads
+
     for lib in sorted(cfg.libs_for_scaff(), key=lambda l: l.avg_ins):
-        stream = rio.iter_lib_reads(lib, paired_only=True)
         rid, ctg, pos, gaps, n_lib = map_reads(
-            rio.batch_reads(stream, batch_size, cfg.max_rd_len,
-                            start_id=next_id),
+            native_reads.batch_reads_lib(
+                lib, batch_size, cfg.max_rd_len, start_id=next_id,
+                paired_only=True,
+            ),
             index, progress=progress,
             gap_pool=gap_pool, insert_size=lib.avg_ins,
         )

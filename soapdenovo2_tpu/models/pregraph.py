@@ -323,13 +323,13 @@ def run_pregraph(
     t0 = time.time()
     max_len = cfg.max_rd_len
 
-    def read_stream():
-        for lib in cfg.libs_for_contig():
-            yield from rio.iter_lib_reads(lib)
+    from ..io import native_reads
 
-    table, n_reads = count_reads_to_table(
-        rio.batch_reads(read_stream(), batch_size, max_len), k, max_len
-    )
+    def read_batches():
+        for lib in cfg.libs_for_contig():
+            yield from native_reads.batch_reads_lib(lib, batch_size, max_len)
+
+    table, n_reads = count_reads_to_table(read_batches(), k, max_len)
     table = shrink_table(table, k)
     if progress:
         log.info(
@@ -353,7 +353,7 @@ def run_pregraph(
         log.info("edges: %d directed (%.1fs)", eg.n_edges, time.time() - t0)
 
     arcs, marker, paths = build_arcs(
-        rio.batch_reads(read_stream(), batch_size, max_len),
+        read_batches(),
         eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
         record_paths=record_paths,
     )
