@@ -373,6 +373,33 @@ def _seq_similarity(a: np.ndarray, b: np.ndarray, band: int = 16) -> float:
     return 1.0 - d / max(la, lb)
 
 
+def _batched_similarity(g: ContigGraph, pairs: List[Tuple[int, int]]):
+    """Score candidate bubble pairs with the batched banded-DP kernel
+    (ops/align.py); python fallback for overlong sequences."""
+    if not pairs:
+        return []
+    from ..ops import align
+
+    maxlen = max(
+        max(len(g.seqs[a]), len(g.seqs[b])) for a, b in pairs
+    )
+    if maxlen > 2048:
+        return [
+            _seq_similarity(g.seqs[a], g.seqs[b]) for a, b in pairs
+        ]
+    n = len(pairs)
+    a_arr = np.zeros((n, maxlen), np.uint8)
+    b_arr = np.zeros((n, maxlen), np.uint8)
+    a_len = np.zeros((n,), np.int32)
+    b_len = np.zeros((n,), np.int32)
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = g.seqs[a], g.seqs[b]
+        a_arr[i, : len(sa)] = sa
+        b_arr[i, : len(sb)] = sb
+        a_len[i], b_len[i] = len(sa), len(sb)
+    return align.banded_similarity(a_arr, b_arr, a_len, b_len)
+
+
 def bubble_pinch(g: ContigGraph, similarity: float = 0.90,
                  max_node_len: Optional[int] = None) -> int:
     """Merge simple 2-path bubbles: pairs of parallel edges with the same
@@ -397,29 +424,34 @@ def bubble_pinch(g: ContigGraph, similarity: float = 0.90,
         pred = g.twin[left[0][0]]  # actual predecessor edge
         succ = right[0][0]
         groups.setdefault((int(pred), int(succ)), []).append(e)
+
+    # phase 1: collect candidate pairs, score them in one batched device
+    # call (Pallas banded-DP kernel; bubble.c compareSequences:509)
+    cand: List[Tuple[int, int]] = []
     for (pred, succ), members in groups.items():
         if len(members) < 2:
             continue
-        members = [e for e in members if not g.deleted[e]]
         members.sort(key=lambda e: (-int(g.cvg10[e]), e))
         keep = members[0]
         for e in members[1:]:
-            if g.deleted[e] or g.deleted[keep]:
-                continue
-            if e == g.twin[keep]:
-                continue
-            sim = _seq_similarity(g.seqs[keep], g.seqs[e])
-            if sim >= similarity:
-                # fold coverage into the survivor (cleanUpRedundancy merges
-                # read intervals; we approximate by coverage addition)
-                lk, le = len(g.seqs[keep]), len(g.seqs[e])
-                g.cvg10[keep] = min(
-                    16000,
-                    int((g.cvg10[keep] * lk + g.cvg10[e] * le) / max(lk, 1)),
-                )
-                g.cvg10[g.twin[keep]] = g.cvg10[keep]
-                g.destroy_edge(e)
-                merged += 1
+            if e != g.twin[keep]:
+                cand.append((keep, e))
+    sims = _batched_similarity(g, cand)
+
+    for (keep, e), sim in zip(cand, sims):
+        if g.deleted[e] or g.deleted[keep]:
+            continue
+        if sim >= similarity:
+            # fold coverage into the survivor (cleanUpRedundancy merges
+            # read intervals; we approximate by coverage addition)
+            lk, le = len(g.seqs[keep]), len(g.seqs[e])
+            g.cvg10[keep] = min(
+                16000,
+                int((g.cvg10[keep] * lk + g.cvg10[e] * le) / max(lk, 1)),
+            )
+            g.cvg10[g.twin[keep]] = g.cvg10[keep]
+            g.destroy_edge(e)
+            merged += 1
     return merged
 
 

@@ -43,15 +43,21 @@ def count_reads_to_table(
 ) -> Tuple[sc.KmerTable, int]:
     """Stream read batches into a merged, sorted k-mer table.
 
-    Returns (table, n_reads).  The device pipeline per batch is
-    extract -> flatten -> batch-local sort/count -> merge into the running
-    table; capacity doubles (host-side realloc + recompile) when the merge
-    would overflow.
+    Returns (table, n_reads).  Per batch: extract -> flatten -> local
+    sort/count.  Batch tables are held in a pending list and merged into
+    the running table only once their total size reaches the table size
+    (LSM-style deferred merging — amortized O(n log n) instead of the
+    O(n_batches * table) of merge-per-batch).  The NEXT batch is shipped
+    to the device before the current result is consumed, overlapping host
+    decode with device compute (the reference's AIO double-buffering
+    role, prlHashReads.c:762).
     """
     kops.validate_k(k)
     table = sc.empty_table(init_capacity, k)
     capacity = init_capacity
     n_reads = 0
+    pending: list = []
+    pending_rows = 0
 
     @jax.jit
     def batch_table(codes, lengths):
@@ -63,10 +69,11 @@ def count_reads_to_table(
         right = out["right"].reshape(b * p)
         return sc.count_batch(words, valid, left, right, b * p)
 
-    for batch in batches:
-        n_reads += batch.n
-        bt = batch_table(jnp.asarray(batch.codes), jnp.asarray(batch.lengths))
-        need = int(table.n) + int(bt.n)
+    def flush():
+        nonlocal table, capacity, pending, pending_rows
+        if not pending:
+            return
+        need = int(table.n) + sum(int(bt.n) for bt in pending)
         if need > capacity:
             capacity = _next_pow2(need * 2)
             grown = sc.empty_table(capacity, k)
@@ -76,7 +83,27 @@ def count_reads_to_table(
                 n=table.n,
             )
             table = grown
-        table = sc.merge_tables(table, bt, capacity)
+        table = sc.merge_many(tuple([table] + pending), capacity)
+        pending = []
+        pending_rows = 0
+
+    in_flight = None  # (device codes, device lengths, n)
+    for batch in batches:
+        dev = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths), batch.n)
+        if in_flight is not None:
+            codes_d, lengths_d, n = in_flight
+            n_reads += n
+            bt = batch_table(codes_d, lengths_d)
+            pending.append(bt)
+            pending_rows += int(bt.n)
+            if pending_rows >= max(int(table.n), init_capacity // 2):
+                flush()
+        in_flight = dev
+    if in_flight is not None:
+        codes_d, lengths_d, n = in_flight
+        n_reads += n
+        pending.append(batch_table(codes_d, lengths_d))
+    flush()
     return table, n_reads
 
 

@@ -118,15 +118,16 @@ def count_batch(words, valid, left, right, out_capacity: int):
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
-    """Merge two sorted tables with saturating coverage addition.
+def merge_many(tables, capacity: int) -> KmerTable:
+    """Merge any number of tables in ONE sort + segment-reduce.
 
-    min(cap, x + y) == the value after x+y capped unit increments, so the
-    merged table is identical to single-pass reference counting.
+    Saturating addition: min(cap, sum) == the value after capped unit
+    increments, so the merged table is identical to single-pass reference
+    counting regardless of merge tree shape.
     """
-    keys = jnp.concatenate([a.keys, b.keys], axis=0)
+    keys = jnp.concatenate([t.keys for t in tables], axis=0)
     covs = jnp.concatenate(
-        [a.covs.astype(jnp.int32), b.covs.astype(jnp.int32)], axis=0
+        [t.covs.astype(jnp.int32) for t in tables], axis=0
     )
     sorted_keys, perm = argsort_kmers(keys)
     covs = covs[perm]
@@ -144,6 +145,10 @@ def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
     ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
     merged = jnp.minimum(merged, COV_CAPS[None, :]).astype(jnp.uint16)
     return KmerTable(keys=ukeys, covs=merged, n=n_live.astype(jnp.int32))
+
+
+def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
+    return merge_many((a, b), capacity)
 
 
 def searchsorted_kmers(table_keys, queries):
