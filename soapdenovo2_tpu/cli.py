@@ -42,6 +42,11 @@ def _contig_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-D", dest="edge_cov_cutoff", type=int, default=1,
                    help="delete edges with coverage <= this")
     p.add_argument("-R", dest="resolve_repeats", action="store_true")
+    p.add_argument("-m", dest="max_k", type=int, default=0,
+                   help="max k for multi-k iteration (requires -s)")
+    p.add_argument("-s", dest="config", default=None,
+                   help="read config (required with -m)")
+    p.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)
 
 
 def _map_args(p: argparse.ArgumentParser) -> None:
@@ -108,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     _common_pregraph_args(allp)
     allp.add_argument("-M", dest="merge_level", type=int, default=1)
     allp.add_argument("-D", dest="edge_cov_cutoff", type=int, default=1)
+    allp.add_argument("-m", dest="max_k", type=int, default=0,
+                      help="max k for multi-k iteration")
     allp.add_argument("-F", dest="fill_gaps", action="store_true")
     allp.add_argument("-L", dest="min_ctg_len", type=int, default=0)
     allp.add_argument("-k", dest="map_kmer", type=int, default=0)
@@ -136,6 +143,24 @@ def cmd_contig(args) -> None:
     from .models import checkpoint as ck
     from .models import contig as cm
 
+    if getattr(args, "max_k", 0):
+        if not args.config:
+            raise SystemExit("contig -m requires -s <config>")
+        from .config import parse_config
+        from .io import files as fio
+        from .models import iterate
+
+        cfg = parse_config(args.config)
+        info = fio.read_pre_graph_basic(args.prefix)
+        res = iterate.run_iterate(
+            cfg, info["k"], args.max_k,
+            d_cutoff=getattr(args, "kmer_freq_cutoff", 1),
+            record_paths=args.resolve_repeats,
+        )
+        n = ck.write_contigs(args.prefix, res.graph)
+        log.info("contig (iterate to k=%d): %d contigs, stats %s",
+                 args.max_k, n, res.stats)
+        return
     g = ck.load_contig_graph(args.prefix)
     paths = ck.load_paths(args.prefix) if args.resolve_repeats else None
     res = cm.run_contig_graph(
