@@ -47,6 +47,8 @@ def _contig_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-s", dest="config", default=None,
                    help="read config (required with -m)")
     p.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)
+    p.add_argument("-V", dest="visualize", action="store_true",
+                   help="emit GraphViz files")
 
 
 def _map_args(p: argparse.ArgumentParser) -> None:
@@ -64,6 +66,8 @@ def _scaff_args(p: argparse.ArgumentParser) -> None:
                    help="fill gaps in scaffolds")
     p.add_argument("-L", dest="min_ctg_len", type=int, default=0,
                    help="shortest contig used for scaffolding")
+    p.add_argument("-V", dest="visualize", action="store_true",
+                   help="emit GraphViz/visualization files")
     p.add_argument("-p", dest="ncpu", type=int, default=8)
 
 
@@ -168,6 +172,16 @@ def cmd_contig(args) -> None:
         de_low_edge=args.edge_cov_cutoff, paths=paths,
     )
     n = ck.write_contigs(args.prefix, res.graph)
+    with open(args.prefix + ".bubbleInScaff", "w") as fh:
+        for keep, dele, sim, snps in res.graph.bubbles:
+            fh.write(
+                f"{keep + 1}\t{dele + 1}\t{sim:.3f}\t"
+                + ",".join(str(s) for s in snps) + "\n"
+            )
+    if getattr(args, "visualize", False):
+        from .io import files as fio2
+
+        fio2.write_arc_gvz(args.prefix, res.graph)
     log.info("contig: %d contigs, stats %s", n, res.stats)
 
 
@@ -218,6 +232,13 @@ def cmd_scaff(args) -> None:
         args.prefix + ".gapSeq",
         ((f"gap{i + 1}", s) for i, s in enumerate(sres.gap_seqs)),
     )
+    fio.write_links(args.prefix, sres.grads_links)
+    fio.write_contig_pos_in_scaff(args.prefix, sres.scaffolds, ctg_len)
+    if getattr(args, "visualize", False):
+        fio.write_cnt_gvz(args.prefix, sres.grads_links)
+        fio.write_read_on_scaf(
+            args.prefix, rid, ctg, pos, sres.scaffolds, ctg_len
+        )
     contig_stats = sim_utils.assembly_stats(contigs)
     fio.write_scaf_statistics(args.prefix, contig_stats, sres.stats)
     log.info("scaff: %s", sres.stats)

@@ -340,6 +340,88 @@ def write_fasta_generic(path: str, records: Iterable[Tuple[str, str]]) -> None:
                 fh.write(seq[i : i + 100] + "\n")
 
 
+def write_links(prefix: str, grads_links) -> None:
+    """*.links: per gradation, weighted contig links with gap estimates
+    (attachPEinfo.c writes these after connectByPE_grad)."""
+    with open(prefix + ".links", "w") as fh:
+        for gi, links in enumerate(grads_links):
+            fh.write(f"#grad {gi}\n")
+            for i in range(links.c1.shape[0]):
+                fh.write(
+                    f"{int(links.c1[i]) + 1}\t{int(links.c2[i]) + 1}\t"
+                    f"{int(links.weight[i])}\t{int(links.gap[i])}\n"
+                )
+
+
+def write_contig_pos_in_scaff(prefix: str, scaffolds, ctg_len) -> None:
+    """*.contigPosInscaff — contig placements per scaffold
+    (prlReadFillGap.c output)."""
+    with open(prefix + ".contigPosInscaff", "w") as fh:
+        for si, sc in enumerate(scaffolds):
+            fh.write(f">scaffold{si + 1}\n")
+            acc = 0
+            for j, c in enumerate(sc.ctgs):
+                orient = "-" if (c & 1) else "+"
+                fh.write(f"{(c >> 1) + 1}\t{acc}\t{orient}\n")
+                acc += int(ctg_len[c])
+                if j < len(sc.gaps):
+                    acc += max(int(sc.gaps[j]), 1)
+
+
+def write_arc_gvz(prefix: str, graph) -> None:
+    """*.arcGVZ — GraphViz dump of the contig/edge graph (-V; arc.c:81)."""
+    with open(prefix + ".arcGVZ", "w") as fh:
+        fh.write("digraph G{\n\tsize=\"512,512\";\n")
+        for e in range(graph.n_edges):
+            if graph.deleted[e]:
+                continue
+            for t, m in graph.live_arcs(e):
+                fh.write(f"\tC{e + 1}_{len(graph.seqs[e])} -> "
+                         f"C{t + 1}_{len(graph.seqs[t])} [label = {m}];\n")
+        fh.write("}\n")
+
+
+def write_cnt_gvz(prefix: str, grads_links) -> None:
+    """*.cntGVZ — GraphViz dump of the PE connection graph (-V;
+    connect.c:73)."""
+    with open(prefix + ".cntGVZ", "w") as fh:
+        fh.write("digraph G{\n\tsize=\"512,512\";\n")
+        for links in grads_links:
+            for i in range(links.c1.shape[0]):
+                fh.write(
+                    f"\tC{int(links.c1[i]) + 1} -> C{int(links.c2[i]) + 1}"
+                    f" [label = {int(links.weight[i])}];\n"
+                )
+        fh.write("}\n")
+
+
+def write_read_on_scaf(prefix: str, read_id, ctg, pos, scaffolds, ctg_len) -> None:
+    """*.readOnScaf — read locations lifted to scaffold coordinates
+    (read2scaf.c locateReadOnScaf:286)."""
+    # contig -> (scaffold, offset, flipped)
+    place = {}
+    for si, sc in enumerate(scaffolds):
+        acc = 0
+        for j, c in enumerate(sc.ctgs):
+            place[int(c)] = (si, acc, False)
+            place[int(c) ^ 1] = (si, acc, True)
+            acc += int(ctg_len[c])
+            if j < len(sc.gaps):
+                acc += max(int(sc.gaps[j]), 1)
+    with open(prefix + ".readOnScaf", "w") as fh:
+        fh.write("read\tscaffold\tpos\n")
+        for r, c, p in zip(read_id, ctg, pos):
+            info = place.get(int(c))
+            if info is None:
+                continue
+            si, off, flipped = info
+            if flipped:
+                coord = off + int(ctg_len[int(c)]) - int(p)
+            else:
+                coord = off + int(p)
+            fh.write(f"{int(r)}\t{si + 1}\t{coord}\n")
+
+
 def read_fasta(path: str) -> List[Tuple[str, str]]:
     out: List[Tuple[str, str]] = []
     name = None

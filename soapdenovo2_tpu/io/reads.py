@@ -140,10 +140,10 @@ def iter_lib_reads(
         for seq in iter_fastx(p):
             yield fix(seq)
     for p in lib.bam_files():
-        raise NotImplementedError(
-            "BAM input not yet supported (planned: pure-python BGZF+BAM "
-            "parser honoring the 0x0200 QC-skip rule of readseq1by1.c:449)"
-        )
+        from .bam import iter_bam_reads
+
+        for seq in iter_bam_reads(p):
+            yield fix(seq)
     if not paired_only:
         for p in lib.single_files():
             for seq in iter_fastx(p):

@@ -47,6 +47,8 @@ class ContigGraph:
     # arcs in dict-of-dicts: arcs[e] = {to: mult}
     arcs: List[Dict[int, int]]
     marker: Optional[np.ndarray] = None  # markOnEdge counts
+    # (keep, deleted, similarity, snp_positions) from bubble merges
+    bubbles: List[tuple] = dataclasses.field(default_factory=list)
 
     @property
     def n_edges(self) -> int:
@@ -442,6 +444,14 @@ def bubble_pinch(g: ContigGraph, similarity: float = 0.90,
         if g.deleted[e] or g.deleted[keep]:
             continue
         if sim >= similarity:
+            # record the merged variant (SNP sites when lengths match) —
+            # feeds *.bubbleInScaff (the reference calls SNPs from bubble
+            # contigs during scaffolding, orderContig.c removeBubbleCtg)
+            if len(g.seqs[keep]) == len(g.seqs[e]):
+                snps = np.nonzero(g.seqs[keep] != g.seqs[e])[0].tolist()
+            else:
+                snps = []
+            g.bubbles.append((int(keep), int(e), float(sim), snps))
             # fold coverage into the survivor (cleanUpRedundancy merges
             # read intervals; we approximate by coverage addition)
             lk, le = len(g.seqs[keep]), len(g.seqs[e])

@@ -347,6 +347,7 @@ class ScaffResult:
     seqs: List[str]
     stats: dict
     gap_seqs: List[str] = dataclasses.field(default_factory=list)
+    grads_links: List[LinkTable] = dataclasses.field(default_factory=list)
 
 
 def run_scaff(
@@ -370,11 +371,13 @@ def run_scaff(
     # grads sorted by insert size; group equal ranks together like
     # Links2Scaf's rank loop
     grads = map_result.pe_grads
+    grads_links: List[LinkTable] = []
     for g in grads:
         links, new_ins = build_links_for_grad(
             map_result.read_id, map_result.ctg, map_result.pos,
             ctg_len, g.insert_size, id_lo, g.end_read_id,
         )
+        grads_links.append(links)
         ins = new_ins if new_ins else g.insert_size
         if new_ins and progress:
             log.info("grad ins %d re-estimated to %d", g.insert_size, ins)
@@ -395,7 +398,8 @@ def run_scaff(
     if progress:
         log.info("scaff: %s", stats)
     return ScaffResult(
-        scaffolds=scaffolds, seqs=seqs, stats=stats, gap_seqs=gap_seqs
+        scaffolds=scaffolds, seqs=seqs, stats=stats, gap_seqs=gap_seqs,
+        grads_links=grads_links,
     )
 
 
