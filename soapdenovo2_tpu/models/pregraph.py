@@ -57,7 +57,7 @@ def count_reads_to_table(
     capacity = init_capacity
     n_reads = 0
     pending: list = []
-    pending_rows = 0
+    FLUSH_N = 8  # constant merge fan-in => one XLA shape per capacity
 
     @jax.jit
     def batch_table(codes, lengths):
@@ -70,9 +70,14 @@ def count_reads_to_table(
         return sc.count_batch(words, valid, left, right, b * p)
 
     def flush():
-        nonlocal table, capacity, pending, pending_rows
+        nonlocal table, capacity, pending
         if not pending:
             return
+        # pad to the constant fan-in with empty same-shape tables so the
+        # fused merge compiles once per table capacity
+        batch_cap = pending[0].keys.shape[0]
+        while len(pending) < FLUSH_N:
+            pending.append(sc.empty_table(batch_cap, k))
         need = int(table.n) + sum(int(bt.n) for bt in pending)
         if need > capacity:
             capacity = _next_pow2(need * 2)
@@ -85,7 +90,6 @@ def count_reads_to_table(
             table = grown
         table = sc.merge_many(tuple([table] + pending), capacity)
         pending = []
-        pending_rows = 0
 
     in_flight = None  # (device codes, device lengths, n)
     for batch in batches:
@@ -95,8 +99,7 @@ def count_reads_to_table(
             n_reads += n
             bt = batch_table(codes_d, lengths_d)
             pending.append(bt)
-            pending_rows += int(bt.n)
-            if pending_rows >= max(int(table.n), init_capacity // 2):
+            if len(pending) >= FLUSH_N:
                 flush()
         in_flight = dev
     if in_flight is not None:
