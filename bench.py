@@ -60,7 +60,12 @@ def main() -> None:
             out["right"].reshape(b * p),
             b * p,
         )
-        return t.n
+        # reduce over ALL outputs so nothing is dead-code-eliminated
+        return (
+            t.n
+            + t.keys.astype(jnp.uint32).sum().astype(jnp.int32)
+            + t.covs.astype(jnp.int32).sum()
+        )
 
     # warmup/compile (int() forces full sync on every backend)
     int(step(codes, lengths))

@@ -67,7 +67,10 @@ def count_reads_to_table(
         valid = out["valid"].reshape(b * p)
         left = out["left"].reshape(b * p)
         right = out["right"].reshape(b * p)
-        return sc.count_batch(words, valid, left, right, b * p)
+        # mask-only (non-compacted) batch tables: merge_many re-sorts
+        # anyway, so batch-level compaction would be wasted scatter work
+        return sc.count_batch(words, valid, left, right, b * p,
+                              compact=False)
 
     def flush():
         nonlocal table, capacity, pending
@@ -161,25 +164,7 @@ class ArcAccumulator:
         )
 
     def add_pairs(self, from_e, to_e, valid) -> "ArcAccumulator":
-        n = from_e.shape[0]
-        keys = jnp.stack(
-            [
-                jnp.where(valid, from_e, -1).astype(jnp.uint32),
-                jnp.where(valid, to_e, -1).astype(jnp.uint32),
-            ],
-            axis=1,
-        )
-        sk, perm = sc.argsort_kmers(keys)
-        seg, _ = sc._segment_ids(sk)
-        cnt = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg, num_segments=n)
-        ukeys = jnp.full((n, 2), 0xFFFFFFFF, jnp.uint32).at[seg].set(sk, mode="drop")
-        n_groups = seg[-1] + 1
-        has_sent = jnp.all(sk[-1] == jnp.uint32(0xFFFFFFFF))
-        n_live = jnp.where(has_sent, n_groups - 1, n_groups)
-        live = jnp.arange(n) < n_live
-        ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
-        cnt = jnp.where(live, cnt, 0)
-        batch = ArcAccumulator(keys=ukeys, mult=cnt, n=n_live.astype(jnp.int32))
+        batch = _arc_batch_table(from_e, to_e, valid)
         return self.merge(batch)
 
     def merge(self, other: "ArcAccumulator") -> "ArcAccumulator":
@@ -199,22 +184,42 @@ class ArcAccumulator:
         return _merge_arcs(self, other, cap)
 
 
+@jax.jit
+def _arc_batch_table(from_e, to_e, valid) -> ArcAccumulator:
+    """Mask-only per-batch arc table (head rows live, rest sentineled)."""
+    n = from_e.shape[0]
+    keys = jnp.stack(
+        [
+            jnp.where(valid, from_e, -1).astype(jnp.uint32),
+            jnp.where(valid, to_e, -1).astype(jnp.uint32),
+        ],
+        axis=1,
+    )
+    sk, _ = sc.argsort_kmers(keys)
+    _, is_new = sc._segment_ids(sk)
+    sums = sc._group_sums(jnp.ones((n, 1), jnp.int32), is_new)
+    live_head = is_new & ~jnp.all(sk == jnp.uint32(0xFFFFFFFF), axis=-1)
+    ukeys = jnp.where(live_head[:, None], sk, jnp.uint32(0xFFFFFFFF))
+    mult = jnp.where(live_head, sums[:, 0], 0)
+    n_live = jnp.sum(live_head.astype(jnp.int32))
+    return ArcAccumulator(keys=ukeys, mult=mult, n=n_live)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _merge_arcs(a: ArcAccumulator, b: ArcAccumulator, capacity: int) -> ArcAccumulator:
     keys = jnp.concatenate([a.keys, b.keys], axis=0)
     mult = jnp.concatenate([a.mult, b.mult], axis=0)
     sk, perm = sc.argsort_kmers(keys)
     mult = mult[perm]
-    seg, _ = sc._segment_ids(sk)
-    total = jax.ops.segment_sum(mult, seg, num_segments=capacity)
-    ukeys = jnp.full((capacity, 2), 0xFFFFFFFF, jnp.uint32).at[seg].set(sk, mode="drop")
-    n_groups = seg[-1] + 1
-    has_sent = jnp.all(sk[-1] == jnp.uint32(0xFFFFFFFF))
-    n_live = jnp.where(has_sent, n_groups - 1, n_groups)
+    _, is_new = sc._segment_ids(sk)
+    sums = sc._group_sums(mult[:, None], is_new)
+    live_head = is_new & ~jnp.all(sk == jnp.uint32(0xFFFFFFFF), axis=-1)
+    ukeys, out = sc._sort_compact(sk, sums, live_head, capacity)
+    n_live = jnp.sum(live_head.astype(jnp.int32))
     live = jnp.arange(capacity) < n_live
     ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
-    total = jnp.where(live, total, 0)
-    return ArcAccumulator(keys=ukeys, mult=total, n=n_live.astype(jnp.int32))
+    out = jnp.where(live[:, None], out, 0)
+    return ArcAccumulator(keys=ukeys, mult=out[:, 0], n=n_live)
 
 
 jax.tree_util.register_dataclass(

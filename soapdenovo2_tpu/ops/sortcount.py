@@ -71,50 +71,106 @@ def _is_sentinel(words):
     return jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
 
 
-def count_batch(words, valid, left, right, out_capacity: int):
+def _group_sums(cols, is_new):
+    """Per-group column sums, valid at each group's HEAD row.
+
+    ``cols``: (N, C) int32 over sorted rows.  One REVERSED segmented
+    inclusive scan: at row i the result is sum(cols[i .. group end]), so
+    head rows carry their full group sum.  No scatters, no gathers —
+    TPU scatter-adds (segment_sum) and large gathers are the slow ops.
+    """
+    is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
+    rf = jnp.flip(is_last, 0)[:, None]
+    rc = jnp.flip(cols, 0)
+
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf, 0, av)
+
+    _, v = jax.lax.associative_scan(op, (rf, rc), axis=0)
+    return jnp.flip(v, 0)
+
+
+def _sort_compact(sorted_words, rows, is_new, capacity: int):
+    """Move group-head rows to the front (in order) WITHOUT scatters:
+    one stable 1-bit-key argsort + gathers.  Returns (keys, rows)."""
+    n = sorted_words.shape[0]
+    livekey = jnp.where(is_new, 0, 1).astype(jnp.uint32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((livekey, iota), num_keys=1, is_stable=True)
+    keys = sorted_words[perm]
+    rows = rows[perm]
+    if capacity < n:
+        keys = keys[:capacity]
+        rows = rows[:capacity]
+    elif capacity > n:
+        keys = jnp.concatenate(
+            [keys, jnp.full((capacity - n, keys.shape[1]), 0xFFFFFFFF,
+                            jnp.uint32)]
+        )
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((capacity - n, rows.shape[1]), rows.dtype)]
+        )
+    return keys, rows
+
+
+def count_batch(words, valid, left, right, out_capacity: int,
+                compact: bool = True):
     """Collapse one extraction batch into a sorted unique table.
 
     Args:
       words: (N, W) canonical k-mers; valid: (N,) bool;
       left/right: (N,) uint8 strand-adjusted flanking base codes (4 = none).
       out_capacity: static output table capacity (>= N is always safe).
+      compact: move unique entries to the front (binary-searchable).
+        With False (the streaming count pass), rows stay in sorted order
+        with non-head rows sentineled — half the work, and merge_many
+        accepts either form.
 
-    Returns a KmerTable of capacity ``out_capacity`` whose covs are the
-    *uncapped in-batch* sums clipped to the caps (saturating semantics).
+    Returns a KmerTable whose covs are the in-batch sums clipped to the
+    saturating caps.
     """
     n, w = words.shape
     words = jnp.where(valid[:, None], words, jnp.uint32(0xFFFFFFFF))
     sorted_words, perm = argsort_kmers(words)
     left_s = left[perm]
     right_s = right[perm]
-    seg, _ = _segment_ids(sorted_words)
+    seg, is_new = _segment_ids(sorted_words)
 
-    num_seg = out_capacity
-    ones = jnp.ones((n,), jnp.int32)
-    total = jax.ops.segment_sum(ones, seg, num_segments=num_seg)
-    covs = [
-        jax.ops.segment_sum((left_s == c).astype(jnp.int32), seg, num_segments=num_seg)
-        for c in range(4)
-    ] + [
-        jax.ops.segment_sum((right_s == c).astype(jnp.int32), seg, num_segments=num_seg)
-        for c in range(4)
-    ]
-    covs.append(total)
-    covs = jnp.stack(covs, axis=-1)  # (C, 9)
-
-    ukeys = jnp.full((num_seg, w), 0xFFFFFFFF, jnp.uint32)
-    ukeys = ukeys.at[seg].set(sorted_words, mode="drop")
+    cols = jnp.stack(
+        [(left_s == c).astype(jnp.int32) for c in range(4)]
+        + [(right_s == c).astype(jnp.int32) for c in range(4)]
+        + [jnp.ones((n,), jnp.int32)],
+        axis=-1,
+    )  # (N, 9): 8 one-hots + occurrence count
+    sums = _group_sums(cols, is_new)  # valid at head rows
 
     n_groups = seg[-1] + 1
     has_sent = _is_sentinel(sorted_words[-1])
-    n_live = jnp.where(has_sent, n_groups - 1, n_groups)
-    # zero out the sentinel group's covs (it sits at index n_live)
-    idx = jnp.arange(num_seg, dtype=jnp.int32)
-    live = idx < n_live
-    covs = jnp.where(live[:, None], covs, 0)
-    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+    n_live = (jnp.where(has_sent, n_groups - 1, n_groups)).astype(jnp.int32)
+
+    sent_head = is_new & _is_sentinel(sorted_words)
+    live_head = is_new & ~sent_head
+    if compact:
+        keys, covs = _sort_compact(
+            sorted_words, sums, live_head, out_capacity
+        )
+        live = jnp.arange(out_capacity, dtype=jnp.int32) < n_live
+        covs = jnp.where(live[:, None], covs, 0)
+        keys = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    else:
+        # mask-only batch table: head rows hold (key, sums); all other
+        # rows are sentinels.  NOT binary-searchable (sentinels are
+        # interspersed) — valid only as merge_many input.
+        keys = jnp.where(
+            live_head[:, None], sorted_words, jnp.uint32(0xFFFFFFFF)
+        )
+        covs = jnp.where(live_head[:, None], sums, 0)
+        if out_capacity != n:
+            raise ValueError("non-compact tables keep their row count")
     covs = jnp.minimum(covs, COV_CAPS[None, :]).astype(jnp.uint16)
-    return KmerTable(keys=ukeys, covs=covs, n=n_live.astype(jnp.int32))
+    return KmerTable(keys=keys, covs=covs, n=n_live)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -131,20 +187,18 @@ def merge_many(tables, capacity: int) -> KmerTable:
     )
     sorted_keys, perm = argsort_kmers(keys)
     covs = covs[perm]
-    seg, _ = _segment_ids(sorted_keys)
-    num_seg = capacity
-    merged = jax.ops.segment_sum(covs, seg, num_segments=num_seg)
-    ukeys = jnp.full((num_seg, keys.shape[1]), 0xFFFFFFFF, jnp.uint32)
-    ukeys = ukeys.at[seg].set(sorted_keys, mode="drop")
+    seg, is_new = _segment_ids(sorted_keys)
+    sums = _group_sums(covs, is_new)
     n_groups = seg[-1] + 1
     has_sent = _is_sentinel(sorted_keys[-1])
-    n_live = jnp.where(has_sent, n_groups - 1, n_groups)
-    idx = jnp.arange(num_seg, dtype=jnp.int32)
-    live = idx < n_live
+    n_live = (jnp.where(has_sent, n_groups - 1, n_groups)).astype(jnp.int32)
+    live_head = is_new & ~_is_sentinel(sorted_keys)
+    ukeys, merged = _sort_compact(sorted_keys, sums, live_head, capacity)
+    live = jnp.arange(capacity, dtype=jnp.int32) < n_live
     merged = jnp.where(live[:, None], merged, 0)
     ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
     merged = jnp.minimum(merged, COV_CAPS[None, :]).astype(jnp.uint16)
-    return KmerTable(keys=ukeys, covs=merged, n=n_live.astype(jnp.int32))
+    return KmerTable(keys=ukeys, covs=merged, n=n_live)
 
 
 def merge_tables(a: KmerTable, b: KmerTable, capacity: int) -> KmerTable:
