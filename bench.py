@@ -33,7 +33,6 @@ ITERS = 5
 def main() -> None:
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -42,15 +41,25 @@ def main() -> None:
     except Exception:
         pass
 
+    import jax.numpy as jnp
+
     from soapdenovo2_tpu.ops import kmer as kops
     from soapdenovo2_tpu.ops import sortcount as sc
 
+    # genomic-like reads (5 Mb genome) so duplicate structure matches
+    # assembly reality, not random noise
     rng = np.random.default_rng(0)
-    codes = jnp.asarray(rng.integers(0, 4, size=(B, L)).astype(np.uint8))
+    genome = rng.integers(0, 4, size=5_000_000).astype(np.uint8)
+    starts = rng.integers(0, genome.size - L, size=B)
+    codes = jnp.asarray(
+        np.ascontiguousarray(genome[starts[:, None] + np.arange(L)[None, :]])
+    )
     lengths = jnp.full((B,), L, jnp.int32)
 
     @jax.jit
     def step(codes, lengths):
+        # the streaming count pass's per-batch kernel (compact=False is
+        # the production path; merge_many amortizes over 8 batches)
         out = kops.extract_kmers(codes, lengths, K)
         b, p, w = out["words"].shape
         t = sc.count_batch(
@@ -59,6 +68,7 @@ def main() -> None:
             out["left"].reshape(b * p),
             out["right"].reshape(b * p),
             b * p,
+            compact=False,
         )
         # reduce over ALL outputs so nothing is dead-code-eliminated
         return (
@@ -67,8 +77,7 @@ def main() -> None:
             + t.covs.astype(jnp.int32).sum()
         )
 
-    # warmup/compile (int() forces full sync on every backend)
-    int(step(codes, lengths))
+    int(step(codes, lengths))  # compile + sync
     t0 = time.time()
     for _ in range(ITERS):
         int(step(codes, lengths))

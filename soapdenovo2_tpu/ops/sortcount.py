@@ -71,25 +71,31 @@ def _is_sentinel(words):
     return jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
 
 
+def _group_last(is_new):
+    """Index of the LAST row of each row's group (sorted input): one
+    simple suffix-min scan over next-head positions."""
+    n = is_new.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    heads_at = jnp.where(is_new, iota, n)
+    suf_min = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(heads_at))
+    )
+    nxt = jnp.concatenate([suf_min[1:], jnp.full((1,), n, jnp.int32)])
+    return nxt - 1
+
+
 def _group_sums(cols, is_new):
     """Per-group column sums, valid at each group's HEAD row.
 
-    ``cols``: (N, C) int32 over sorted rows.  One REVERSED segmented
-    inclusive scan: at row i the result is sum(cols[i .. group end]), so
-    head rows carry their full group sum.  No scatters, no gathers —
-    TPU scatter-adds (segment_sum) and large gathers are the slow ops.
+    ``cols``: (N, C) int32 over sorted rows.  Inclusive cumsum + one
+    boundary gather: sum(group of head h) = S[last] - S[h] + x[h].  No
+    scatter-adds (TPU segment_sum is slow); the single-operand suffix-min
+    scan and cumsum both compile and run fast, unlike a tuple-carrying
+    segmented scan (pathological XLA compile times on this target).
     """
-    is_last = jnp.concatenate([is_new[1:], jnp.ones((1,), bool)])
-    rf = jnp.flip(is_last, 0)[:, None]
-    rc = jnp.flip(cols, 0)
-
-    def op(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, bv + jnp.where(bf, 0, av)
-
-    _, v = jax.lax.associative_scan(op, (rf, rc), axis=0)
-    return jnp.flip(v, 0)
+    last = _group_last(is_new)
+    S = jnp.cumsum(cols, axis=0)
+    return S[last] - S + cols
 
 
 def _sort_compact(sorted_words, rows, is_new, capacity: int):
