@@ -1,0 +1,121 @@
+"""Golden parity check against the reference SOAPdenovo2 binary.
+
+Builds the reference out-of-tree (modern-gcc flags only), simulates a PE
+library, runs both assemblers end to end, and compares contig/scaffold
+stats + genome-matched bases.  Used manually and by the slow parity test.
+
+    python scripts/parity_check.py [--genome-len 50000] [--k 23]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_SRC = "/root/reference"
+REF_BUILD = "/tmp/refbuild_parity"
+
+
+def build_reference() -> str:
+    """Build SOAPdenovo-63mer out-of-tree; returns binary path."""
+    binary = os.path.join(REF_BUILD, "SOAPdenovo-63mer")
+    if os.path.exists(binary):
+        return binary
+    if os.path.exists("/tmp/refbuild/SOAPdenovo-63mer"):
+        return "/tmp/refbuild/SOAPdenovo-63mer"
+    shutil.copytree(REF_SRC, REF_BUILD, dirs_exist_ok=True)
+    subprocess.run(
+        [
+            "make", "SOAPdenovo-63mer",
+            "CFLAGS=-O3 -fcommon -w -m64 -DMER63 -D_63MER_",
+            "EXTRA_FLAGS=-Wl,--hash-style=both -no-pie",
+        ],
+        cwd=REF_BUILD, check=True, capture_output=True, timeout=900,
+    )
+    return binary
+
+
+def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
+               coverage: float = 35.0, error_rate: float = 0.005,
+               seed: int = 123) -> dict:
+    from soapdenovo2_tpu import cli
+    from soapdenovo2_tpu.io import files as fio
+    from soapdenovo2_tpu.utils import simulate as sim
+    from soapdenovo2_tpu.utils.simulate import assembly_stats
+
+    os.makedirs(workdir, exist_ok=True)
+    cfgp, genome = sim.make_test_config(
+        workdir, genome_len=genome_len, read_len=100, insert_size=350,
+        coverage=coverage, error_rate=error_rate, seed=seed,
+    )
+    gstr = genome.decode()
+
+    binary = build_reference()
+    ref_prefix = os.path.join(workdir, "ref_asm")
+    subprocess.run(
+        [binary, "all", "-s", cfgp, "-K", str(k), "-o", ref_prefix, "-p", "4"],
+        check=True, capture_output=True, timeout=600, cwd=workdir,
+    )
+    tpu_prefix = os.path.join(workdir, "tpu_asm")
+    cli.main(["all", "-s", cfgp, "-K", str(k), "-o", tpu_prefix, "-d", "1"])
+
+    comp = str.maketrans("ACGTN", "TGCAN")
+
+    def matched_bases(seqs):
+        good = bad = 0
+        for c in seqs:
+            if len(c) < 100:
+                continue
+            for s in re.split("N+", c):
+                if len(s) < 50:
+                    continue
+                if s in gstr or s.translate(comp)[::-1] in gstr:
+                    good += len(s)
+                else:
+                    bad += len(s)
+        return good, bad
+
+    out = {}
+    for name, prefix in (("ref", ref_prefix), ("tpu", tpu_prefix)):
+        ctg = [s for _, s in fio.read_contigs(prefix + ".contig")
+               if len(s) >= 100]
+        scaf = [s for _, s in fio.read_fasta(prefix + ".scafSeq")
+                if len(s) >= 100]
+        good, bad = matched_bases(scaf)
+        out[name] = {
+            "contig": assembly_stats(ctg),
+            "scaffold": assembly_stats(scaf),
+            "matched": good,
+            "mismatched": bad,
+        }
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-len", type=int, default=50_000)
+    ap.add_argument("--k", type=int, default=23)
+    ap.add_argument("--workdir", default="/tmp/parity_run")
+    args = ap.parse_args()
+    res = run_parity(args.workdir, genome_len=args.genome_len, k=args.k)
+    import json
+
+    print(json.dumps(res, indent=2))
+    ref, tpu = res["ref"], res["tpu"]
+    ok = (
+        tpu["scaffold"]["N50"] >= 0.9 * ref["scaffold"]["N50"]
+        and tpu["matched"] >= 0.95 * ref["matched"]
+        and tpu["mismatched"] <= max(ref["mismatched"], 200)
+    )
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
