@@ -465,6 +465,133 @@ def bubble_pinch(g: ContigGraph, similarity: float = 0.90,
     return merged
 
 
+def bubble_pinch_paths(g: ContigGraph, similarity: float = 0.90,
+                       max_depth: int = 4,
+                       max_len: Optional[int] = None,
+                       max_paths: int = 24) -> int:
+    """Multi-edge path bubbles (the tour-bus case, bubble.c tourBus:2347).
+
+    For every edge with >=2 outgoing arcs, enumerate bounded simple arc
+    paths; two paths sharing source and terminal edges but no interior
+    edges form a bubble.  Interior sequences are scored with the batched
+    banded-DP kernel; the lower-coverage path's private edges are deleted
+    (the merge direction of comparePaths/cleanUpRedundancy, with coverage
+    folded instead of read-interval remapping).
+    """
+    if max_len is None:
+        max_len = 8 * g.k
+    cand_pairs: List[Tuple[Tuple[int, ...], Tuple[int, ...]]] = []
+
+    def paths_from(src: int) -> List[Tuple[int, ...]]:
+        out: List[Tuple[int, ...]] = []
+
+        def dfs(cur: int, path: Tuple[int, ...], blen: int):
+            if len(out) >= max_paths:
+                return
+            for t, _m in g.live_arcs(cur):
+                if t in path or t == int(g.twin[cur]):
+                    continue
+                nb = blen + g.edge_len(t)
+                if len(path) >= 1:  # t could terminate a bubble
+                    out.append(path + (t,))
+                if nb <= max_len and len(path) < max_depth:
+                    dfs(t, path + (t,), nb)
+
+        dfs(src, (src,), 0)
+        return out
+
+    for src in range(g.n_edges):
+        if g.deleted[src]:
+            continue
+        if len(g.live_arcs(src)) < 2:
+            continue
+        paths = paths_from(src)
+        # group by terminal edge; paths = (src, interior..., terminal)
+        by_term: Dict[int, List[Tuple[int, ...]]] = {}
+        for p in paths:
+            if len(p) >= 3:  # need at least one interior edge
+                by_term.setdefault(p[-1], []).append(p)
+        for term, group in by_term.items():
+            if len(group) < 2:
+                continue
+            for i in range(len(group)):
+                for j in range(i + 1, len(group)):
+                    a, b = group[i], group[j]
+                    ia, ib = set(a[1:-1]), set(b[1:-1])
+                    if ia & ib:
+                        continue
+                    if any(int(g.twin[x]) in ib for x in ia):
+                        continue
+                    cand_pairs.append((a, b))
+
+    if not cand_pairs:
+        return 0
+
+    def interior_seq(p: Tuple[int, ...]) -> Optional[np.ndarray]:
+        segs = []
+        for idx, e in enumerate(p[1:-1]):
+            s = g.seqs[e]
+            segs.append(s if idx == 0 else s[g.k :])
+        if not segs:
+            return None
+        return np.concatenate(segs)
+
+    # batched scoring
+    seqs_a, seqs_b, keep_meta = [], [], []
+    for a, b in cand_pairs:
+        sa, sb = interior_seq(a), interior_seq(b)
+        if sa is None or sb is None or max(len(sa), len(sb)) > 2048:
+            continue
+        seqs_a.append(sa)
+        seqs_b.append(sb)
+        keep_meta.append((a, b))
+    if not seqs_a:
+        return 0
+    from ..ops import align
+
+    L = max(max(len(s) for s in seqs_a), max(len(s) for s in seqs_b))
+    n = len(seqs_a)
+    a_arr = np.zeros((n, L), np.uint8)
+    b_arr = np.zeros((n, L), np.uint8)
+    a_len = np.zeros((n,), np.int32)
+    b_len = np.zeros((n,), np.int32)
+    for i in range(n):
+        a_arr[i, : len(seqs_a[i])] = seqs_a[i]
+        b_arr[i, : len(seqs_b[i])] = seqs_b[i]
+        a_len[i], b_len[i] = len(seqs_a[i]), len(seqs_b[i])
+    sims = align.banded_similarity(a_arr, b_arr, a_len, b_len)
+
+    def path_private(path: Tuple[int, ...]) -> bool:
+        """Loser edges may only be deleted if they have no connections
+        outside the path (a shared repeat edge must survive — the
+        reference remaps read intervals instead of deleting)."""
+        for idx in range(1, len(path) - 1):
+            e = path[idx]
+            outs = {t for t, _ in g.live_arcs(e)}
+            ins = {int(g.twin[t]) for t, _ in g.live_arcs(int(g.twin[e]))}
+            if outs != {path[idx + 1]} or ins != {path[idx - 1]}:
+                return False
+        return True
+
+    merged = 0
+    for (a, b), sim in zip(keep_meta, sims):
+        if sim < similarity:
+            continue
+        ia = [e for e in a[1:-1] if not g.deleted[e]]
+        ib = [e for e in b[1:-1] if not g.deleted[e]]
+        if len(ia) != len(a) - 2 or len(ib) != len(b) - 2:
+            continue  # partially consumed by an earlier merge
+        cov_a = min((int(g.cvg10[e]) for e in ia), default=0)
+        cov_b = min((int(g.cvg10[e]) for e in ib), default=0)
+        loser_path = b if cov_b <= cov_a else a
+        if not path_private(loser_path):
+            continue
+        for e in loser_path[1:-1]:
+            g.destroy_edge(e)
+        merged += 1
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # linearization
 # ---------------------------------------------------------------------------
@@ -565,8 +692,18 @@ def run_contig_graph(
     n_weak = remove_weak_edges(g, 2 * k, 1)
     n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0
     linear_concatenate(g)
-    n_bub = bubble_pinch(g) if merge_bubbles else 0
-    linear_concatenate(g)
+    n_bub = 0
+    if merge_bubbles:
+        # iterate pinch+linearize: cascaded/nested bubbles collapse into
+        # simple ones after each linearization (tour-bus convergence)
+        for _ in range(5):
+            n = bubble_pinch(g)
+            linear_concatenate(g)
+            n += bubble_pinch_paths(g)
+            linear_concatenate(g)
+            n_bub += n
+            if n == 0:
+                break
     n_tip = cut_tips_in_graph(g)
     linear_concatenate(g)
     contigs = contig_sequences(g)
