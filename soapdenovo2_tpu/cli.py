@@ -32,6 +32,9 @@ def _common_pregraph_args(p: argparse.ArgumentParser) -> None:
                    help="record read paths for repeat resolution")
     p.add_argument("-p", dest="ncpu", type=int, default=8,
                    help="accepted for compatibility (device-parallel)")
+    p.add_argument("-z", dest="genome_size", type=int, default=0,
+                   help="genome size hint: pre-sizes the k-mer table "
+                        "(avoids growth recompiles)")
     p.add_argument("--batch", dest="batch_size", type=int, default=4096)
 
 
@@ -135,6 +138,7 @@ def cmd_pregraph(args) -> None:
     pre = pg.run_pregraph(
         cfg, args.kmer, d_cutoff=args.kmer_freq_cutoff,
         record_paths=args.resolve_repeats, batch_size=args.batch_size,
+        genome_size=getattr(args, "genome_size", 0),
     )
     grads = [
         rio.PeGrad(l.avg_ins, 0, l.rank, l.pair_num_cutoff or 3)

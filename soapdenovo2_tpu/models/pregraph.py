@@ -352,6 +352,7 @@ def run_pregraph(
     d_cutoff: int = 0,
     record_paths: bool = False,
     batch_size: int = 4096,
+    genome_size: int = 0,
     progress: bool = True,
 ) -> PregraphResult:
     """pregraph.c call_pregraph:62, end to end in memory."""
@@ -364,7 +365,12 @@ def run_pregraph(
         for lib in cfg.libs_for_contig():
             yield from native_reads.batch_reads_lib(lib, batch_size, max_len)
 
-    table, n_reads = count_reads_to_table(read_batches(), k, max_len)
+    # -z genome-size hint pre-sizes the table so capacity never grows
+    # mid-stream (each growth is a fresh XLA merge shape)
+    init_cap = _next_pow2(int(genome_size * 1.7)) if genome_size else 1 << 20
+    table, n_reads = count_reads_to_table(
+        read_batches(), k, max_len, init_capacity=init_cap
+    )
     table = shrink_table(table, k)
     if progress:
         log.info(

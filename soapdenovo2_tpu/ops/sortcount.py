@@ -199,7 +199,14 @@ def merge_many(tables, capacity: int) -> KmerTable:
     has_sent = _is_sentinel(sorted_keys[-1])
     n_live = (jnp.where(has_sent, n_groups - 1, n_groups)).astype(jnp.int32)
     live_head = is_new & ~_is_sentinel(sorted_keys)
-    ukeys, merged = _sort_compact(sorted_keys, sums, live_head, capacity)
+    # unique-index scatter compaction: merges run once per FLUSH_N batches
+    # so the scatter cost amortizes, and it compiles far faster than a
+    # second full sort at these shapes
+    head_slot = jnp.where(live_head, seg, capacity)
+    ukeys = jnp.full((capacity, keys.shape[1]), 0xFFFFFFFF, jnp.uint32)
+    ukeys = ukeys.at[head_slot].set(sorted_keys, mode="drop")
+    merged = jnp.zeros((capacity, N_COV), jnp.int32)
+    merged = merged.at[head_slot].set(sums, mode="drop")
     live = jnp.arange(capacity, dtype=jnp.int32) < n_live
     merged = jnp.where(live[:, None], merged, 0)
     ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
