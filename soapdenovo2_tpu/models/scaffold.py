@@ -14,10 +14,16 @@ Implemented reference semantics:
   * link weights accumulate per (c1, c2) with mirrored twin links
     (add1Connect:198 + cntLookupTable)
   * insert-size re-estimation from same-contig pairs (calcuIS)
-  * per-rank pipeline: weak-link deletion -> transitive reduction ->
-    repeat masking -> unique-successor linearization -> chain freezing
-    (ordering:2351 simplified; the full heap-based general_linearization
-    is a later-round item)
+  * per-rank pipeline (ordering:2351): weak-link deletion (deleteWeakCnt,
+    weakPE policy of Links2Scaf:5865-5905) -> transitive reduction
+    (removeTransitive:1765) -> subgraph linearization
+    (general_linearization:8123, strict then non-strict on the last rank)
+    -> puzzle masking (maskPuzzle:1291) -> chain freezing (freezing:3083
+    as unique-successor merging)
+  * long-insert ranks: junction-support scaffold breaking
+    (detectBreakScaff:9141) before ordering
+  * final rank: masked-contig recovery into gaps (recoverMask:2682,
+    bounded route search like traceAlongConnect searchPath.c:109)
 """
 
 from __future__ import annotations
@@ -159,6 +165,18 @@ class Scaffolder:
             self.mask |= ctg_len < min_ctg_len
         for t in range(self.n_dir // 2):
             self.chains.append(Scaffold([2 * t], []))
+        # accumulated contig-level links (weight, gap) across all ranks —
+        # feeds detectBreakScaff junction support and recoverMask routes
+        self.ctg_links: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        self.n_breaks = 0
+        self.n_recovered = 0
+
+    def _remember_links(self, links: LinkTable) -> None:
+        for a, b, w, g in zip(links.c1, links.c2, links.weight, links.gap):
+            key = (int(a), int(b))
+            old = self.ctg_links.get(key)
+            if old is None or w > old[0]:
+                self.ctg_links[key] = (int(w), int(g))
 
     # -- chain coordinate helpers ------------------------------------------
     def _chain_maps(self):
@@ -188,10 +206,11 @@ class Scaffolder:
         return cid, off, tail, flip
 
     def add_rank(self, links: LinkTable, pair_cutoff: int,
-                 insert_size: int) -> None:
-        """One ordering round (ordering:2351, simplified)."""
+                 insert_size: int, last_rank: bool = False) -> None:
+        """One ordering round (ordering:2351)."""
         if links.c1.size == 0:
             return
+        self._remember_links(links)
         w_ok = links.weight >= pair_cutoff  # deleteWeakCnt:1356
         masked = self.mask[links.c1] | self.mask[links.c2]
         keep = w_ok & ~masked
@@ -199,7 +218,9 @@ class Scaffolder:
         w, gap = links.weight[keep], links.gap[keep]
 
         cid, off, tail, flip = self._chain_maps()
-        # lift links to chain level: (chain1 oriented) -> (chain2 oriented)
+        # lift links to chain level: (chain1 oriented) -> (chain2 oriented).
+        # This plays downSlide's role (orderContig.c:393): a link landing on
+        # an interior contig of a bound chain is slid to the chain end.
         ch1 = cid[c1]
         ch2 = cid[c2]
         ok = (ch1 >= 0) & (ch2 >= 0) & (ch1 != ch2)
@@ -268,7 +289,24 @@ class Scaffolder:
         for d in drop:
             linkset.pop(d, None)
 
-        # unique-successor linearization (linearC2C / freezing, simplified):
+        # subgraph linearization (general_linearization:8123): strict pass
+        # always (simplifyCnt:2013), non-strict pass on the last rank
+        # (ordering:2385)
+        ins_var = 50 if insert_size >= 1000 else (
+            30 if insert_size >= 300 else 20
+        )
+        self._general_linearization(linkset, chain_len_of, ins_var,
+                                    overlap_tol=0.05, confl_tol=0.05)
+        if last_rank:
+            self._general_linearization(linkset, chain_len_of, ins_var,
+                                        overlap_tol=0.10, confl_tol=0.10)
+
+        # maskPuzzle (orderContig.c:1291): singleton chains that still
+        # branch are repeat puzzles — mask them out of ordering (they come
+        # back via recoverMask / gap placement)
+        self._mask_puzzle(linkset)
+
+        # unique-successor linearization (linearC2C / freezing):
         succ: Dict[int, Tuple[int, int]] = {}
         pred_count: Dict[int, int] = {}
         outs_by_a: Dict[int, List[Tuple[int, float, int]]] = {}
@@ -316,6 +354,284 @@ class Scaffolder:
             merged.append(self._stitch(path, gaps))
         self.chains = merged
 
+    # -- general_linearization (orderContig.c:8123) -------------------------
+    def _general_linearization(
+        self,
+        linkset: Dict[Tuple[int, int], Tuple[float, int]],
+        chain_len_of,
+        ins_var: int,
+        overlap_tol: float,
+        confl_tol: float,
+        max_nodes: int = 32,
+    ) -> int:
+        """Order bounded link subgraphs by estimated position and replace
+        their links with a consistent linear chain.
+
+        The reference gathers the subgraph with twin Fib heaps
+        (pickUpGeneralSubgraph:6464), sorts members by distance (cmp_ctg),
+        rejects on orientation conflicts (checkEligible), significant
+        overlap (checkOverlapInBetween_general:7495) or conflicting link
+        weight (checkConflictCnt_general), then commits the order
+        (arrangeNodes_general:6939).  Here nodes are oriented chains; a
+        node's reverse complement is ``node ^ 1``.
+        """
+        outs: Dict[int, List[Tuple[int, float, int]]] = {}
+        ins: Dict[int, List[Tuple[int, float, int]]] = {}
+        for (a, b), (w, g) in linkset.items():
+            outs.setdefault(a, []).append((b, w, g))
+            ins.setdefault(b, []).append((a, w, g))
+        consumed: set = set()
+        n_linearized = 0
+        for a in sorted(outs.keys()):
+            if a in consumed or len(outs.get(a, ())) < 2:
+                continue
+            # gather positions by relaxation BFS in both directions
+            pos: Dict[int, int] = {a: 0}
+            queue = [a]
+            ok = True
+            while queue and ok:
+                cur = queue.pop()
+                for b, w, g in outs.get(cur, ()):  # downstream
+                    p = pos[cur] + chain_len_of(cur) + g
+                    if b in pos:
+                        if abs(pos[b] - p) > 3 * ins_var + 0.1 * abs(p):
+                            ok = False
+                            break
+                    else:
+                        if len(pos) >= max_nodes:
+                            ok = False
+                            break
+                        pos[b] = p
+                        queue.append(b)
+                if not ok:
+                    break
+                for pn, w, g in ins.get(cur, ()):  # upstream
+                    p = pos[cur] - g - chain_len_of(pn)
+                    if pn in pos:
+                        if abs(pos[pn] - p) > 3 * ins_var + 0.1 * abs(p):
+                            ok = False
+                            break
+                    else:
+                        if len(pos) >= max_nodes:
+                            ok = False
+                            break
+                        pos[pn] = p
+                        queue.append(pn)
+            if not ok or len(pos) < 3:
+                continue
+            # checkEligible: no member together with its reverse complement
+            if any((x ^ 1) in pos for x in pos):
+                continue
+            order = sorted(pos.items(), key=lambda kv: (kv[1], kv[0]))
+            # checkOverlapInBetween_general: consecutive overlap bounded
+            ok = True
+            for (x, px), (y, py) in zip(order, order[1:]):
+                overlap = px + chain_len_of(x) - py
+                lim = max(
+                    overlap_tol * min(chain_len_of(x), chain_len_of(y)),
+                    ins_var,
+                )
+                if overlap > lim:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            # checkConflictCnt_general: links pointing against the order
+            rank = {x: i for i, (x, _) in enumerate(order)}
+            confl = total = 0.0
+            for (x, y), (w, _g) in linkset.items():
+                if x in rank and y in rank:
+                    total += w
+                    if rank[y] <= rank[x]:
+                        confl += w
+            if total <= 0 or confl > confl_tol * total:
+                continue
+            # arrangeNodes_general: replace member links with the chain.
+            # The mirror subgraph (every node reverse-complemented) shares
+            # one CONNECT set in the reference; rewrite it symmetrically.
+            members = set(pos)
+            members_m = {x ^ 1 for x in members}
+            support: Dict[Tuple[int, int], float] = {}
+            for keypair in [
+                kp
+                for kp in linkset
+                if (kp[0] in members and kp[1] in members)
+                or (kp[0] in members_m and kp[1] in members_m)
+            ]:
+                support[keypair] = linkset.pop(keypair)[0]
+            for (x, px), (y, py) in zip(order, order[1:]):
+                ggap = py - (px + chain_len_of(x))
+                wgt = support.get((x, y), 1.0)
+                linkset[(x, y)] = (wgt, ggap)
+                linkset[(y ^ 1, x ^ 1)] = (wgt, ggap)
+            consumed |= members | members_m
+            n_linearized += 1
+        return n_linearized
+
+    def _mask_puzzle(
+        self, linkset: Dict[Tuple[int, int], Tuple[float, int]]
+    ) -> int:
+        """maskPuzzle (orderContig.c:1291): contigs whose connections still
+        branch after linearization are repeat puzzles; mask them.  Only
+        singleton chains are masked — a bound multi-contig chain already
+        carries consistent PE evidence (the reference likewise skips
+        contigs bound inside scaffolds via validConnect's used flag)."""
+        outd: Dict[int, int] = {}
+        ind: Dict[int, int] = {}
+        for (x, y) in linkset:
+            outd[x] = outd.get(x, 0) + 1
+            ind[y] = ind.get(y, 0) + 1
+        n_masked = 0
+        masked_nodes = set()
+        for node in set(outd) | set(ind):
+            if outd.get(node, 0) <= 1 and ind.get(node, 0) <= 1:
+                continue
+            sc = self.chains[node >> 1]
+            if len(sc.ctgs) != 1:
+                continue
+            c = sc.ctgs[0]
+            if not self.mask[c]:
+                self.mask[c] = self.mask[c ^ 1] = True
+                masked_nodes.add(node)
+                masked_nodes.add(node ^ 1)
+                n_masked += 1
+        if masked_nodes:
+            for kp in [
+                kp
+                for kp in linkset
+                if kp[0] in masked_nodes or kp[1] in masked_nodes
+            ]:
+                del linkset[kp]
+        return n_masked
+
+    # -- detectBreakScaff (orderContig.c:9141) ------------------------------
+    def detect_break_scaff(self, links: LinkTable, insert_size: int,
+                           weak_pe: int) -> int:
+        """Break chain junctions with no spanning support from the current
+        long-insert rank.  Only chains at least one insert long are
+        checked, and only junctions narrow enough that a pair could span
+        them (the reference requires avg long-PE coverage >= 10 before
+        trusting absence of evidence; we require the chain to carry some
+        current-rank support)."""
+        span_w: Dict[Tuple[int, int], int] = {}
+        for a, b, w in zip(links.c1, links.c2, links.weight):
+            if w >= weak_pe:
+                span_w[(int(a), int(b))] = span_w.get((int(a), int(b)), 0) + int(w)
+        if not span_w:
+            return 0
+        new_chains: List[Scaffold] = []
+        n_broken = 0
+        for sc in self.chains:
+            m = len(sc.ctgs)
+            if m < 2:
+                new_chains.append(sc)
+                continue
+            # chain coordinates
+            start = np.zeros((m,), np.int64)
+            acc = 0
+            for j, c in enumerate(sc.ctgs):
+                start[j] = acc
+                acc += int(self.ctg_len[c]) + (
+                    max(sc.gaps[j], 1) if j < m - 1 else 0
+                )
+            total = acc
+            if total < insert_size:
+                new_chains.append(sc)
+                continue
+            idx = {c: j for j, c in enumerate(sc.ctgs)}
+            support = np.zeros((m - 1,), np.int64)
+            rank_hits = 0
+            for (a, b), w in span_w.items():
+                ja = idx.get(a)
+                jb = idx.get(b)
+                if ja is None or jb is None or ja >= jb:
+                    continue
+                rank_hits += 1
+                support[ja:jb] += w
+            if rank_hits == 0:
+                new_chains.append(sc)  # no evidence about this chain at all
+                continue
+            # break only junctions a pair could span: flanking sequence
+            # within one insert on both sides
+            cut = []
+            for j in range(m - 1):
+                junction = start[j] + int(self.ctg_len[sc.ctgs[j]])
+                if support[j] > 0:
+                    continue
+                if junction < insert_size // 2 or total - junction < insert_size // 2:
+                    continue  # too close to an end to demand spanning pairs
+                cut.append(j)
+            if not cut:
+                new_chains.append(sc)
+                continue
+            n_broken += len(cut)
+            prev = 0
+            for j in cut:
+                new_chains.append(
+                    Scaffold(sc.ctgs[prev : j + 1], sc.gaps[prev:j])
+                )
+                prev = j + 1
+            new_chains.append(Scaffold(sc.ctgs[prev:], sc.gaps[prev:]))
+        self.chains = new_chains
+        self.n_breaks += n_broken
+        return n_broken
+
+    # -- recoverMask (orderContig.c:2682) -----------------------------------
+    def recover_mask(self, ins_var: int = 50, max_steps: int = 5) -> int:
+        """Place masked contigs back into chain gaps via bounded route
+        search over accumulated links (traceAlongConnect, searchPath.c:109):
+        for each adjacent chain pair (start, finish), search masked-contig
+        routes start -> ... -> finish whose length matches the gap within
+        1.5 * ins_var; a unique route is committed into the chain."""
+        outs: Dict[int, List[Tuple[int, int, int]]] = {}
+        for (a, b), (w, g) in self.ctg_links.items():
+            outs.setdefault(a, []).append((b, w, g))
+        recovered = 0
+        for sc in self.chains:
+            if len(sc.ctgs) < 2:
+                continue
+            j = 0
+            while j < len(sc.ctgs) - 1:
+                start, finish = sc.ctgs[j], sc.ctgs[j + 1]
+                target = sc.gaps[j] + int(self.ctg_len[finish])
+                lo = target - int(1.5 * ins_var)
+                hi = target + int(1.5 * ins_var)
+                routes: List[Tuple[List[int], List[int]]] = []
+
+                def dfs(cur: int, length: int, path: List[int],
+                        gaps: List[int]):
+                    if len(routes) > 1:
+                        return  # only uniqueness matters
+                    for t, w, g in outs.get(cur, ()):
+                        if t == finish and path:
+                            total = length + g + int(self.ctg_len[finish])
+                            if lo <= total <= hi:
+                                routes.append((list(path), gaps + [g]))
+                            continue
+                        if (
+                            len(path) < max_steps - 1
+                            and self.mask[t]
+                            and t not in path
+                            and (t ^ 1) not in path
+                        ):
+                            nl = length + g + int(self.ctg_len[t])
+                            if nl <= hi:
+                                dfs(t, nl, path + [t], gaps + [g])
+
+                dfs(start, 0, [], [])
+                if len(routes) == 1:
+                    path, gaps = routes[0]
+                    sc.ctgs[j + 1 : j + 1] = path
+                    sc.gaps[j : j + 1] = gaps
+                    for c in path:
+                        self.mask[c] = self.mask[c ^ 1] = False
+                    recovered += len(path)
+                    j += len(path) + 1
+                else:
+                    j += 1
+        self.n_recovered += recovered
+        return recovered
+
     def _stitch(self, oriented_chains: List[int], gaps: List[int]) -> Scaffold:
         ctgs: List[int] = []
         out_gaps: List[int] = []
@@ -339,6 +655,37 @@ class Scaffolder:
 # ---------------------------------------------------------------------------
 # stage driver + output
 # ---------------------------------------------------------------------------
+
+
+def _concat_links(tables: List[LinkTable]) -> LinkTable:
+    """Pool link tables of one rank (inputLinks accumulates grads of equal
+    rank into the same CONNECT set), merging duplicate (c1, c2) pairs."""
+    live = [t for t in tables if t.c1.size]
+    if not live:
+        return LinkTable(*(np.zeros((0,), np.int32) for _ in range(4)))
+    if len(live) == 1:
+        return live[0]
+    c1 = np.concatenate([t.c1 for t in live])
+    c2 = np.concatenate([t.c2 for t in live])
+    w = np.concatenate([t.weight for t in live])
+    g = np.concatenate([t.gap for t in live])
+    key = c1.astype(np.int64) << 32 | c2.astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    key, w, g = key[order], w[order], g[order]
+    new = np.ones(key.shape, bool)
+    new[1:] = key[1:] != key[:-1]
+    grp = np.cumsum(new) - 1
+    wsum = np.bincount(grp, weights=w.astype(np.float64))
+    gavg = np.bincount(grp, weights=(g * w).astype(np.float64)) / np.maximum(
+        wsum, 1
+    )
+    uk = key[new]
+    return LinkTable(
+        c1=(uk >> 32).astype(np.int32),
+        c2=(uk & 0xFFFFFFFF).astype(np.int32),
+        weight=wsum.astype(np.int32),
+        gap=gavg.astype(np.int32),
+    )
 
 
 @dataclasses.dataclass
@@ -368,11 +715,12 @@ def run_scaff(
     sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=min_ctg_len)
 
     id_lo = 0
-    # grads sorted by insert size; group equal ranks together like
-    # Links2Scaf's rank loop
+    # grads sorted by insert size; grads of equal rank pool their links
+    # into one ordering call (Links2Scaf:5766 rank loop)
     grads = map_result.pe_grads
     grads_links: List[LinkTable] = []
-    for g in grads:
+    pend_links: List[Tuple[LinkTable, int, int]] = []  # (links, ins, cutoff)
+    for gi, g in enumerate(grads):
         links, new_ins = build_links_for_grad(
             map_result.read_id, map_result.ctg, map_result.pos,
             ctg_len, g.insert_size, id_lo, g.end_read_id,
@@ -381,8 +729,29 @@ def run_scaff(
         ins = new_ins if new_ins else g.insert_size
         if new_ins and progress:
             log.info("grad ins %d re-estimated to %d", g.insert_size, ins)
-        sc.add_rank(links, g.pair_num_cutoff or 3, ins)
+        pend_links.append((links, ins, g.pair_num_cutoff or 3))
         id_lo = g.end_read_id
+        last = gi == len(grads) - 1
+        if not last and grads[gi + 1].rank == g.rank:
+            continue  # pool with the next grad of the same rank
+        # weakPE policy (Links2Scaf:5865-5905): base 3, 5 for long
+        # inserts, raised to the mean library cutoff
+        ins_max = max(p[1] for p in pend_links)
+        weak_pe = 5 if ins_max > 1000 else 3
+        weak_pe = max(
+            weak_pe,
+            int(sum(p[2] for p in pend_links) / len(pend_links)),
+        )
+        pooled = _concat_links([p[0] for p in pend_links])
+        if ins_max > 1000:
+            n_broken = sc.detect_break_scaff(pooled, ins_max, weak_pe)
+            if n_broken and progress:
+                log.info("detectBreakScaff: %d junction(s) broken", n_broken)
+        sc.add_rank(pooled, weak_pe, ins_max, last_rank=last)
+        pend_links = []
+    n_rec = sc.recover_mask()
+    if n_rec and progress:
+        log.info("recoverMask: %d masked contig(s) recovered", n_rec)
 
     scaffolds = sc.result()
     gap_seqs: List[str] = []
