@@ -72,6 +72,15 @@ def _scaff_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-V", dest="visualize", action="store_true",
                    help="emit GraphViz/visualization files")
     p.add_argument("-p", dest="ncpu", type=int, default=8)
+    p.add_argument("-u", dest="unmask", action="store_true",
+                   help="keep high-coverage contigs unmasked "
+                        "(scaffold.c -u)")
+    p.add_argument("-G", dest="gap_len_diff", type=int, default=50,
+                   help="allowed difference between estimated and "
+                        "arc-filled gap length (scaffold.c -G)")
+    p.add_argument("--arc-mask", dest="arc_mask", action="store_true",
+                   help="mask repeats by arc weight (maskRepeatByArc, "
+                        "disabled by default like the reference)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -205,6 +214,20 @@ def cmd_map(args) -> None:
     fio.write_pe_grads(args.prefix, mres.pe_grads, cfg.max_rd_len)
 
 
+def _check_files_for_scaff(prefix: str) -> None:
+    """checkFiles4Scaff (orderContig.c:106): name exactly which stage
+    files are missing instead of dying on the first open()."""
+    import os
+
+    required = [".contig", ".ContigIndex", ".readOnContig.gz", ".peGrads"]
+    missing = [prefix + s for s in required if not os.path.exists(prefix + s)]
+    if missing:
+        raise SystemExit(
+            "scaff: missing stage file(s): " + ", ".join(missing)
+            + " — run the contig and map stages first (or check -g prefix)"
+        )
+
+
 def cmd_scaff(args) -> None:
     from .io import files as fio
     from .models import checkpoint as ck
@@ -212,6 +235,7 @@ def cmd_scaff(args) -> None:
     from .models import mapping as mp
     from .utils import simulate as sim_utils
 
+    _check_files_for_scaff(args.prefix)
     contigs = ck.load_contigs(args.prefix)
     rid, ctg, pos = fio.read_read_on_contig(args.prefix)
     grads, max_rd_len = fio.read_pe_grads(args.prefix)
@@ -223,14 +247,24 @@ def cmd_scaff(args) -> None:
         pe_grads=grads,
         gap_reads=fio.read_read_in_gap(args.prefix),
     )
+    ctg_arcs = fio.read_heavy_arcs(args.prefix)
+    try:
+        k = fio.read_pre_graph_basic(args.prefix)["k"]
+    except (FileNotFoundError, KeyError):
+        k = 0
     sres = sf.run_scaff(
         mres, contigs, min_ctg_len=args.min_ctg_len, contig_cvg=cvg,
-        fill=args.fill_gaps,
+        fill=args.fill_gaps, ctg_arcs=ctg_arcs, k=k,
+        mask_repeat_arc=getattr(args, "arc_mask", False),
+        unmask=getattr(args, "unmask", False),
+        gap_len_diff=getattr(args, "gap_len_diff", 50),
     )
     ctg_len = np.zeros((2 * len(contigs),), np.int64)
     for t, s in enumerate(contigs):
         ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
+    fio.write_new_contig_index(args.prefix, ctg_len, cvg)
     fio.write_scaf(args.prefix, sres.scaffolds, ctg_len)
+    fio.write_scaf_gap(args.prefix, sres.scaffolds, ctg_len, sres.arc_fills)
     fio.write_scaf_seq(args.prefix, sres.seqs)
     fio.write_fasta_generic(
         args.prefix + ".gapSeq",

@@ -15,6 +15,15 @@ golden-file comparisons against reference binaries are possible:
   *.peGrads        lib gradation table            (prlHashReads.c:690)
   *.contig         FASTA of contigs               (output_contig.c:147)
   *.ContigIndex    per-contig length/cvg table    (output_contig.c)
+  *.updated.edge   per-contig edge records        (output_contig.c output_updated_edges:333)
+  *.Arc            contig arcs "from to1 w1 ..."  (output_contig.c output_heavyArcs:398)
+  *.newContigIndex contigs re-sorted by length    (loadGraph.c loadUpdatedEdges:269)
+  *.scaf_gap       scaffolds with gap contigs     (orderContig.c scaffolding:4591)
+
+Directed contig ids in *.Arc are 1-based ``2*(cid-1)+dir+1`` where dir 0 is
+the emitted orientation of contig ``cid`` and dir 1 its reverse complement
+(the reference instead numbers twin edges adjacently via bal_edge; same
+information, fixed encoding).
 """
 
 from __future__ import annotations
@@ -25,6 +34,36 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..ops import kmer as kops
+
+# -- gap encoding -----------------------------------------------------------
+# Scaffold gaps are PE-estimated and may be (moderately) negative
+# (attach1PE allows down to -ins/10); those stay approximate and render as
+# >=1 N.  Exact junctions created by arc-route gap placement (adjacent
+# contigs overlap k-1 bases in the edge graph) are encoded below the
+# sentinel so the two can never collide.
+SPLICE_BASE = -(1 << 20)
+
+
+def splice_gap(overlap: int) -> int:
+    """Encode an exact junction overlap as a gap value."""
+    return SPLICE_BASE - int(overlap)
+
+
+def is_splice(g: int) -> bool:
+    return int(g) <= SPLICE_BASE
+
+
+def splice_overlap(g: int) -> int:
+    return SPLICE_BASE - int(g)
+
+
+def gap_span(g: int) -> int:
+    """Bases a gap contributes to scaffold coordinates: >=1 N for an open
+    or estimated gap, a negative exact overlap for a spliced junction."""
+    g = int(g)
+    if is_splice(g):
+        return -splice_overlap(g)
+    return max(g, 1)
 
 
 def write_kmer_freq(prefix: str, freq: np.ndarray) -> None:
@@ -211,6 +250,91 @@ def write_contigs(
     return n
 
 
+def write_updated_edges(
+    prefix: str, records: Iterable[Tuple[int, int, int, float]]
+) -> None:
+    """*.updated.edge (output_updated_edges, output_contig.c:333): per
+    contig ``>length L,cid,bal,cvg`` — bal 1 for a palindrome (its own
+    twin), 0 otherwise (the reference stores a relative twin offset)."""
+    recs = list(records)
+    with open(prefix + ".updated.edge", "w") as fh:
+        fh.write(f"EDGEs {len(recs)}\n")
+        for cid, length, bal, cvg in recs:
+            fh.write(f">length {length},{cid},{bal},{cvg:.1f}\n")
+
+
+def write_heavy_arcs(
+    prefix: str, arcs: Iterable[Tuple[int, List[Tuple[int, int]]]]
+) -> None:
+    """*.Arc (output_heavyArcs, output_contig.c:398): one line per directed
+    contig with out-arcs: ``from to1 w1 to2 w2 ...`` (1-based directed ids,
+    see module docstring)."""
+    with open(prefix + ".Arc", "w") as fh:
+        for dfrom, outs in arcs:
+            if not outs:
+                continue
+            fh.write(str(dfrom + 1))
+            for dto, w in sorted(outs):
+                fh.write(f" {dto + 1} {w}")
+            fh.write("\n")
+
+
+def read_heavy_arcs(prefix: str) -> dict:
+    """*.Arc -> {directed_from: [(directed_to, weight), ...]} (0-based
+    directed ids, loadArcs loadGraph.c:541 analog)."""
+    arcs: dict = {}
+    try:
+        with open(prefix + ".Arc") as fh:
+            for line in fh:
+                t = line.split()
+                if len(t) < 3:
+                    continue
+                dfrom = int(t[0]) - 1
+                outs = arcs.setdefault(dfrom, [])
+                for i in range(1, len(t) - 1, 2):
+                    outs.append((int(t[i]) - 1, int(t[i + 1])))
+    except FileNotFoundError:
+        pass
+    return arcs
+
+
+def write_new_contig_index(prefix: str, ctg_len, cvg=None) -> None:
+    """*.newContigIndex (loadUpdatedEdges, loadGraph.c:269): contigs
+    re-indexed by decreasing length — ``newID oldID length cvg``."""
+    n = len(ctg_len) // 2
+    order = sorted(range(n), key=lambda t: (-int(ctg_len[2 * t]), t))
+    with open(prefix + ".newContigIndex", "w") as fh:
+        for new_id, t in enumerate(order, 1):
+            c = 0.0 if cvg is None else float(cvg[t])
+            fh.write(f"{new_id}\t{t + 1}\t{int(ctg_len[2 * t])}\t{c:.1f}\n")
+
+
+def write_scaf_gap(prefix: str, scaffolds, ctg_len, arc_fills) -> None:
+    """*.scaf_gap (scaffolding, orderContig.c:4591): like *.scaf but gap
+    contigs placed by arc routes are marked with a trailing GAP flag."""
+    filled = {}  # (scaffold idx, contig position) -> placed by arc route
+    for si, j0, path in arc_fills:
+        for off in range(len(path)):
+            filled[(si, j0 + 1 + off)] = True
+    with open(prefix + ".scaf_gap", "w") as fh:
+        for si, sc in enumerate(scaffolds):
+            total = sum(int(ctg_len[c]) for c in sc.ctgs) + sum(
+                gap_span(g) for g in sc.gaps
+            )
+            fh.write(f">scaffold{si + 1} {len(sc.ctgs)} {total}\n")
+            acc = 0
+            for j, c in enumerate(sc.ctgs):
+                orient = "-" if (c & 1) else "+"
+                tag = "\tGAP" if filled.get((si, j)) else ""
+                fh.write(
+                    f"{(c >> 1) + 1}\t{acc}\t{orient}\t{int(ctg_len[c])}{tag}\n"
+                )
+                acc += int(ctg_len[c])
+                if j < len(sc.gaps):
+                    gg = int(sc.gaps[j])
+                    acc += gg if gg < 0 else max(gg, 1)
+
+
 def read_contigs(path: str) -> List[Tuple[int, str]]:
     out = []
     cid = None
@@ -301,7 +425,7 @@ def write_scaf(prefix: str, scaffolds, ctg_len) -> None:
     with open(prefix + ".scaf", "w") as fh:
         for si, sc in enumerate(scaffolds):
             total = sum(int(ctg_len[c]) for c in sc.ctgs) + sum(
-                max(int(g), 1) for g in sc.gaps
+                gap_span(g) for g in sc.gaps
             )
             fh.write(f">scaffold{si + 1} {len(sc.ctgs)} {total}\n")
             acc = 0
@@ -310,7 +434,7 @@ def write_scaf(prefix: str, scaffolds, ctg_len) -> None:
                 fh.write(f"{(c >> 1) + 1}\t{acc}\t{orient}\t{int(ctg_len[c])}\n")
                 acc += int(ctg_len[c])
                 if j < len(sc.gaps):
-                    acc += max(int(sc.gaps[j]), 1)
+                    acc += gap_span(sc.gaps[j])
 
 
 def write_scaf_seq(prefix: str, seqs, name: str = "scaffold") -> None:
@@ -365,7 +489,7 @@ def write_contig_pos_in_scaff(prefix: str, scaffolds, ctg_len) -> None:
                 fh.write(f"{(c >> 1) + 1}\t{acc}\t{orient}\n")
                 acc += int(ctg_len[c])
                 if j < len(sc.gaps):
-                    acc += max(int(sc.gaps[j]), 1)
+                    acc += gap_span(sc.gaps[j])
 
 
 def write_arc_gvz(prefix: str, graph) -> None:
@@ -407,7 +531,7 @@ def write_read_on_scaf(prefix: str, read_id, ctg, pos, scaffolds, ctg_len) -> No
             place[int(c) ^ 1] = (si, acc, True)
             acc += int(ctg_len[c])
             if j < len(sc.gaps):
-                acc += max(int(sc.gaps[j]), 1)
+                acc += gap_span(sc.gaps[j])
     with open(prefix + ".readOnScaf", "w") as fh:
         fh.write("read\tscaffold\tpos\n")
         for r, c, p in zip(read_id, ctg, pos):

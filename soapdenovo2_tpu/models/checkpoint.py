@@ -182,12 +182,32 @@ def load_contig_graph(prefix: str) -> cm.ContigGraph:
 
 
 def write_contigs(prefix: str, g: cm.ContigGraph) -> int:
-    contigs = cm.contig_sequences(g)
+    records = cm.contig_records(g)
+    contigs = [(c, s, v) for c, s, v, _ in records]
     n = fio.write_contigs(prefix, contigs)
     with open(prefix + ".ContigIndex", "w") as fh:
         fh.write(f"Edge_num {n}\n")
         for cid, seq, cvg in contigs:
             fh.write(f"{cid}\t{len(seq)}\t{cvg:.1f}\n")
+    # *.updated.edge + *.Arc (output_updated_edges:333 / output_heavyArcs:398):
+    # surviving contig-level arcs, keyed by directed contig id 2*(cid-1)+dir
+    # (dir 0 = emitted orientation).
+    dcid = {}  # directed edge -> directed contig id
+    upd = []
+    for cid, seq, cvg, fwd in records:
+        t = int(g.twin[fwd])
+        dcid[fwd] = 2 * (cid - 1)
+        if t != fwd:
+            dcid[t] = 2 * (cid - 1) + 1
+        upd.append((cid, len(seq), 1 if t == fwd else 0, cvg))
+    fio.write_updated_edges(prefix, upd)
+    arc_lines = []
+    for e, d in sorted(dcid.items(), key=lambda kv: kv[1]):
+        outs = [
+            (dcid[to], m) for to, m in g.live_arcs(e) if to in dcid
+        ]
+        arc_lines.append((d, outs))
+    fio.write_heavy_arcs(prefix, arc_lines)
     return n
 
 

@@ -716,11 +716,15 @@ def run_contig_graph(
     return ContigResult(graph=g, stats=stats)
 
 
-def contig_sequences(g: ContigGraph, min_len: int = 0) -> List[Tuple[int, str, float]]:
-    """One record per undirected live edge: (id, seq, cvg).  Of each twin
-    pair, the direction with the lexicographically smaller sequence is
-    emitted (deterministic tiebreak; the reference's choice is
-    thread-order dependent)."""
+def contig_records(
+    g: ContigGraph, min_len: int = 0
+) -> List[Tuple[int, str, float, int]]:
+    """One record per undirected live edge: (id, seq, cvg, fwd_edge).
+    Of each twin pair, the direction with the lexicographically smaller
+    sequence is emitted (deterministic tiebreak; the reference's choice is
+    thread-order dependent).  ``fwd_edge`` is the directed edge whose
+    orientation matches the emitted sequence (its twin is the contig's
+    reverse complement)."""
     out = []
     cid = 0
     for e in range(g.n_edges):
@@ -730,12 +734,20 @@ def contig_sequences(g: ContigGraph, min_len: int = 0) -> List[Tuple[int, str, f
         if t < e and not g.deleted[t]:
             continue  # emitted via its twin
         s = g.seq_str(e)
+        fwd = e
         if t != e and not g.deleted[t]:
             s2 = g.seq_str(t)
             if s2 < s:
                 s = s2
+                fwd = t
         if len(s) < min_len:
             continue
         cid += 1
-        out.append((cid, s, g.cvg10[e] / 10.0))
+        out.append((cid, s, g.cvg10[e] / 10.0, fwd))
     return out
+
+
+def contig_sequences(g: ContigGraph, min_len: int = 0) -> List[Tuple[int, str, float]]:
+    """One record per undirected live edge: (id, seq, cvg) — see
+    contig_records."""
+    return [(c, s, v) for c, s, v, _ in contig_records(g, min_len)]

@@ -68,7 +68,7 @@ def fill_gaps(
             offs.append(acc)
             ctg_coord[c] = (si, acc, False)
             ctg_coord[c ^ 1] = (si, acc, True)
-            acc += cl + (max(sc.gaps[j], 1) if j < len(sc.gaps) else 0)
+            acc += cl + (sf.gap_span(sc.gaps[j]) if j < len(sc.gaps) else 0)
         scaf_layout.append((offs, acc))
 
     # place gap reads into per-(scaffold, gap index) pools
@@ -111,6 +111,12 @@ def fill_gaps(
         for j, c in enumerate(sc.ctgs):
             parts.append(sf._dir_ctg_seq(int(c), contig_seqs))
             if j < len(sc.gaps):
+                if sf.is_splice(sc.gaps[j]):
+                    # arc-spliced junction: exact k-1 overlap, no gap here
+                    right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]), contig_seqs)
+                    parts.append(right[sf.splice_overlap(sc.gaps[j]):])
+                    parts.append("\0")  # marker: skip next piece
+                    continue
                 stats.n_gaps += 1
                 left = parts[-1]
                 right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]), contig_seqs)

@@ -35,6 +35,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io import reads as rio
+from ..io.files import gap_span, is_splice, splice_gap, splice_overlap
 from ..utils import simulate as sim_utils
 from . import mapping as mp
 
@@ -188,7 +189,7 @@ class Scaffolder:
         flip = np.zeros((self.n_dir,), bool)
         for si, sc in enumerate(self.chains):
             total = sum(self.ctg_len[c] for c in sc.ctgs) + sum(
-                max(g, 1) for g in sc.gaps
+                gap_span(g) for g in sc.gaps
             )
             acc = 0
             for j, c in enumerate(sc.ctgs):
@@ -202,7 +203,7 @@ class Scaffolder:
                     else:
                         off[cc] = total - acc - cl
                         tail[cc] = acc
-                acc += cl + (max(sc.gaps[j], 1) if j < len(sc.gaps) else 0)
+                acc += cl + (gap_span(sc.gaps[j]) if j < len(sc.gaps) else 0)
         return cid, off, tail, flip
 
     def add_rank(self, links: LinkTable, pair_cutoff: int,
@@ -260,7 +261,7 @@ class Scaffolder:
         chain_total = np.array(
             [
                 sum(self.ctg_len[c] for c in sc.ctgs)
-                + sum(max(g, 1) for g in sc.gaps)
+                + sum(gap_span(g) for g in sc.gaps)
                 for sc in self.chains
             ],
             np.int64,
@@ -532,7 +533,7 @@ class Scaffolder:
             for j, c in enumerate(sc.ctgs):
                 start[j] = acc
                 acc += int(self.ctg_len[c]) + (
-                    max(sc.gaps[j], 1) if j < m - 1 else 0
+                    gap_span(sc.gaps[j]) if j < m - 1 else 0
                 )
             total = acc
             if total < insert_size:
@@ -575,6 +576,105 @@ class Scaffolder:
         self.chains = new_chains
         self.n_breaks += n_broken
         return n_broken
+
+    # -- maskRepeatByArc (loadGraph.c:207) -----------------------------------
+    def mask_repeat_by_arc(self, arcs: Dict[int, List[Tuple[int, int]]]) -> int:
+        """Mask contigs whose strongest in- plus out-arc weight is >= 4x
+        the average arc weight (maskRepeatByArc, loadGraph.c:207 — present
+        but disabled at its call site loadGraph.c:507; opt-in here).
+
+        ``arcs``: directed contig id -> [(to, weight), ...].  The max
+        incoming arc weight of contig c equals the max outgoing weight of
+        its twin c^1."""
+        weights = [w for outs in arcs.values() for _, w in outs]
+        if not weights:
+            return 0
+        avg = sum(weights) / len(weights)
+        n_masked = 0
+        for t in range(self.n_dir // 2):
+            c = 2 * t
+            if self.mask[c]:
+                continue
+            w_out = max((w for _, w in arcs.get(c, ())), default=0)
+            w_in = max((w for _, w in arcs.get(c ^ 1, ())), default=0)
+            if w_out + w_in >= 4 * avg:
+                self.mask[c] = self.mask[c ^ 1] = True
+                n_masked += 1
+        return n_masked
+
+    # -- arc-route gap placement (scaffolding, orderContig.c:4972) -----------
+    def fill_gaps_by_arc(
+        self,
+        arcs: Dict[int, List[Tuple[int, int]]],
+        k: int,
+        gap_len_diff: int = 50,
+        max_steps: int = 10,
+        max_routes: int = 5,
+    ) -> List[Tuple[int, int, List[int]]]:
+        """Close scaffold gaps with contig-graph arc routes
+        (traceAlongArc, searchPath.c:182, called from scaffolding
+        orderContig.c:4972/5067): for each junction (A, B) with estimated
+        gap g, search arc paths A -> x1 .. xm -> B through masked or
+        unplaced contigs whose realized gap  sum(len(xi)) - (m+1)(k-1)
+        is within ``gap_len_diff`` of g (the reference's -G).  A unique
+        in-window route is committed: intermediates are spliced into the
+        chain with exact -(k-1) overlaps, giving gap-free sequence.
+
+        Returns [(chain_idx, junction_idx, [placed directed contigs])].
+        """
+        ov = k - 1
+        placed_global: set = set()
+        in_chain = {c >> 1 for sc in self.chains if len(sc.ctgs) > 1
+                    for c in sc.ctgs}
+        fills: List[Tuple[int, int, List[int]]] = []
+        for si, sc in enumerate(self.chains):
+            if len(sc.ctgs) < 2:
+                continue
+            j = 0
+            while j < len(sc.ctgs) - 1:
+                a, b = sc.ctgs[j], sc.ctgs[j + 1]
+                g_est = int(sc.gaps[j])
+                if is_splice(g_est):
+                    j += 1
+                    continue
+                lo, hi = g_est - gap_len_diff, g_est + gap_len_diff
+                routes: List[List[int]] = []
+
+                def dfs(cur: int, realized: int, path: List[int]):
+                    if len(routes) >= max_routes:
+                        return
+                    for t, _w in arcs.get(cur, ()):
+                        if t == b:
+                            if path and lo <= realized - ov <= hi:
+                                routes.append(list(path))
+                            continue
+                        u = t >> 1
+                        if (
+                            len(path) < max_steps
+                            and (self.mask[t] or u not in in_chain)
+                            and u not in placed_global
+                            and all((p >> 1) != u for p in path)
+                        ):
+                            nr = realized + int(self.ctg_len[t]) - ov
+                            if nr - ov <= hi:
+                                dfs(t, nr, path + [t])
+
+                dfs(a, 0, [])
+                # drop duplicate routes (same contig set, both orientations)
+                uniq = {tuple(r) for r in routes}
+                if len(uniq) == 1:
+                    path = routes[0]
+                    sc.ctgs[j + 1 : j + 1] = path
+                    sc.gaps[j : j + 1] = [splice_gap(ov)] * (len(path) + 1)
+                    for c in path:
+                        self.mask[c] = self.mask[c ^ 1] = False
+                        placed_global.add(c >> 1)
+                    fills.append((si, j, path))
+                    j += len(path) + 1
+                else:
+                    j += 1
+        self.n_recovered += sum(len(p) for _, _, p in fills)
+        return fills
 
     # -- recoverMask (orderContig.c:2682) -----------------------------------
     def recover_mask(self, ins_var: int = 50, max_steps: int = 5) -> int:
@@ -695,6 +795,10 @@ class ScaffResult:
     stats: dict
     gap_seqs: List[str] = dataclasses.field(default_factory=list)
     grads_links: List[LinkTable] = dataclasses.field(default_factory=list)
+    # (chain idx, junction idx, placed contigs) from arc-route gap closure
+    arc_fills: List[Tuple[int, int, List[int]]] = dataclasses.field(
+        default_factory=list
+    )
 
 
 def run_scaff(
@@ -704,15 +808,25 @@ def run_scaff(
     contig_cvg: Optional[np.ndarray] = None,
     fill: bool = False,
     progress: bool = True,
+    ctg_arcs: Optional[Dict[int, List[Tuple[int, int]]]] = None,
+    k: int = 0,
+    mask_repeat_arc: bool = False,
+    unmask: bool = False,
+    gap_len_diff: int = 50,
 ) -> ScaffResult:
     n = len(contig_seqs)
     ctg_len = np.zeros((2 * n,), np.int64)
     for t, s in enumerate(contig_seqs):
         ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
     cvg_dir = None
-    if contig_cvg is not None:
+    # -u (scaffold.c:149): keep high-coverage contigs unmasked
+    if contig_cvg is not None and not unmask:
         cvg_dir = np.repeat(np.asarray(contig_cvg, np.float64), 2)
     sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=min_ctg_len)
+    if mask_repeat_arc and ctg_arcs:
+        n_arc_masked = sc.mask_repeat_by_arc(ctg_arcs)
+        if n_arc_masked and progress:
+            log.info("maskRepeatByArc: %d contig(s) masked", n_arc_masked)
 
     id_lo = 0
     # grads sorted by insert size; grads of equal rank pool their links
@@ -752,8 +866,25 @@ def run_scaff(
     n_rec = sc.recover_mask()
     if n_rec and progress:
         log.info("recoverMask: %d masked contig(s) recovered", n_rec)
+    arc_fills: List[Tuple[int, int, List[int]]] = []
+    if ctg_arcs and k:
+        arc_fills = sc.fill_gaps_by_arc(ctg_arcs, k, gap_len_diff)
+        if arc_fills and progress:
+            log.info(
+                "arc-route gap placement: %d gap(s) closed with %d contig(s)",
+                len(arc_fills), sum(len(p) for _, _, p in arc_fills),
+            )
 
     scaffolds = sc.result()
+    if arc_fills:
+        # result() drops empty chains; remap fill indices accordingly
+        remap = {}
+        for ci, ch in enumerate(sc.chains):
+            if ch.ctgs:
+                remap[ci] = len(remap)
+        arc_fills = [
+            (remap[si], j, p) for si, j, p in arc_fills if si in remap
+        ]
     gap_seqs: List[str] = []
     if fill and len(map_result.gap_reads):
         from . import gapfill
@@ -768,7 +899,7 @@ def run_scaff(
         log.info("scaff: %s", stats)
     return ScaffResult(
         scaffolds=scaffolds, seqs=seqs, stats=stats, gap_seqs=gap_seqs,
-        grads_links=grads_links,
+        grads_links=grads_links, arc_fills=arc_fills,
     )
 
 
@@ -783,9 +914,12 @@ def _dir_ctg_seq(c: int, contig_seqs: List[str]) -> str:
 
 
 def scaffold_sequence(sc: Scaffold, contig_seqs: List[str]) -> str:
-    parts = []
-    for j, c in enumerate(sc.ctgs):
-        parts.append(_dir_ctg_seq(int(c), contig_seqs))
-        if j < len(sc.gaps):
-            parts.append("N" * max(int(sc.gaps[j]), 1))
-    return "".join(parts)
+    out = _dir_ctg_seq(int(sc.ctgs[0]), contig_seqs) if sc.ctgs else ""
+    for j in range(1, len(sc.ctgs)):
+        g = int(sc.gaps[j - 1])
+        nxt = _dir_ctg_seq(int(sc.ctgs[j]), contig_seqs)
+        if is_splice(g):
+            out += nxt[splice_overlap(g):]  # exact k-1 overlap junction
+        else:
+            out += "N" * max(g, 1) + nxt
+    return out
