@@ -139,9 +139,21 @@ def count_batch(words, valid, left, right, out_capacity: int,
     """
     n, w = words.shape
     words = jnp.where(valid[:, None], words, jnp.uint32(0xFFFFFFFF))
-    sorted_words, perm = argsort_kmers(words)
-    left_s = left[perm]
-    right_s = right[perm]
+    # pack the per-kmer flank codes INTO the sort payload word (bits 24..29
+    # above a 24-bit row index) so the sort itself carries them instead of
+    # two post-sort gathers
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    payload = (
+        iota
+        | (left.astype(jnp.uint32) << 24)
+        | (right.astype(jnp.uint32) << 27)
+    )
+    operands = tuple(words[:, i] for i in range(w)) + (payload,)
+    out = jax.lax.sort(operands, num_keys=w)
+    sorted_words = jnp.stack(out[:w], axis=-1)
+    pay_s = out[w]
+    left_s = (pay_s >> 24) & jnp.uint32(7)
+    right_s = (pay_s >> 27) & jnp.uint32(7)
     seg, is_new = _segment_ids(sorted_words)
 
     cols = jnp.stack(
