@@ -78,6 +78,9 @@ def _scaff_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-G", dest="gap_len_diff", type=int, default=50,
                    help="allowed difference between estimated and "
                         "arc-filled gap length (scaffold.c -G)")
+    p.add_argument("-z", dest="compat", action="store_true",
+                   help="v1.05 COMPATIBLE_MODE (scaffold.c:206-209): read "
+                        "uncompressed .readOnContig/.readInGap map files")
     p.add_argument("--arc-mask", dest="arc_mask", action="store_true",
                    help="mask repeats by arc weight (maskRepeatByArc, "
                         "disabled by default like the reference)")
@@ -117,6 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="map reads onto the imported contigs")
     fus.add_argument("-S", dest="do_scaff", action="store_true",
                      help="scaffold the imported contigs")
+    fus.add_argument("-O", dest="do_potential", action="store_true",
+                     help="potential-analysis: predicted scaffold N50 from "
+                          "the *.links graph (fusion/potential.c)")
     fus.add_argument("-c", dest="contig_fasta", help="contig FASTA (-D)")
     fus.add_argument("-s", dest="config", help="read config (-M/-S)")
     fus.add_argument("-K", dest="kmer", type=int, default=23)
@@ -214,12 +220,13 @@ def cmd_map(args) -> None:
     fio.write_pe_grads(args.prefix, mres.pe_grads, cfg.max_rd_len)
 
 
-def _check_files_for_scaff(prefix: str) -> None:
+def _check_files_for_scaff(prefix: str, compat: bool = False) -> None:
     """checkFiles4Scaff (orderContig.c:106): name exactly which stage
     files are missing instead of dying on the first open()."""
     import os
 
-    required = [".contig", ".ContigIndex", ".readOnContig.gz", ".peGrads"]
+    roc = ".readOnContig" if compat else ".readOnContig.gz"
+    required = [".contig", ".ContigIndex", roc, ".peGrads"]
     missing = [prefix + s for s in required if not os.path.exists(prefix + s)]
     if missing:
         raise SystemExit(
@@ -235,9 +242,10 @@ def cmd_scaff(args) -> None:
     from .models import mapping as mp
     from .utils import simulate as sim_utils
 
-    _check_files_for_scaff(args.prefix)
+    compat = getattr(args, "compat", False)
+    _check_files_for_scaff(args.prefix, compat)
     contigs = ck.load_contigs(args.prefix)
-    rid, ctg, pos = fio.read_read_on_contig(args.prefix)
+    rid, ctg, pos = fio.read_read_on_contig(args.prefix, compat=compat)
     grads, max_rd_len = fio.read_pe_grads(args.prefix)
     cvg = _load_contig_cvg(args.prefix, len(contigs))
     mres = mp.MapResult(
@@ -245,7 +253,7 @@ def cmd_scaff(args) -> None:
         gap_read_ids=np.zeros((0,), np.int64),
         n_reads=int(grads[-1].end_read_id) if grads else 0,
         pe_grads=grads,
-        gap_reads=fio.read_read_in_gap(args.prefix),
+        gap_reads=fio.read_read_in_gap(args.prefix, compat=compat),
     )
     ctg_arcs = fio.read_heavy_arcs(args.prefix)
     try:
@@ -329,8 +337,11 @@ def cmd_fusion(args) -> None:
     if args.do_scaff:
         cmd_scaff(args)
         did = True
+    if args.do_potential:
+        fusion.potential(args.prefix)
+        did = True
     if not did:
-        raise SystemExit("fusion: pass at least one of -D / -M / -S")
+        raise SystemExit("fusion: pass at least one of -D / -M / -O / -S")
 
 
 def cmd_all(args) -> None:

@@ -365,9 +365,17 @@ def write_read_on_contig(
             fh.write(f"{int(r)}\t{int(c) + 1}\t{int(p)}\n")
 
 
-def read_read_on_contig(prefix: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def read_read_on_contig(
+    prefix: str, compat: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """compat=True is the -z COMPATIBLE_MODE (scaffold.c:206-209): read the
+    uncompressed v1.05-style *.readOnContig instead of *.readOnContig.gz."""
     rows = []
-    with gzip.open(prefix + ".readOnContig.gz", "rt") as fh:
+    if compat:
+        opener = open(prefix + ".readOnContig", "rt")
+    else:
+        opener = gzip.open(prefix + ".readOnContig.gz", "rt")
+    with opener as fh:
         header = fh.readline()
         for line in fh:
             t = line.split()
@@ -395,13 +403,19 @@ def write_read_in_gap(prefix: str, gap_reads) -> None:
             )
 
 
-def read_read_in_gap(prefix: str):
+def read_read_in_gap(prefix: str, compat: bool = False):
+    """compat=True (-z): read the uncompressed *.readInGap
+    (prlReadFillGap.c:213-252 reads the v1.05 plain file)."""
     from ..models.mapping import GapReads
     from ..ops import kmer as kops
 
     pool = GapReads.empty()
     try:
-        with gzip.open(prefix + ".readInGap.gz", "rt") as fh:
+        if compat:
+            fh_cm = open(prefix + ".readInGap", "rt")
+        else:
+            fh_cm = gzip.open(prefix + ".readInGap.gz", "rt")
+        with fh_cm as fh:
             for line in fh:
                 t = line.split()
                 if len(t) < 4:
@@ -475,6 +489,34 @@ def write_links(prefix: str, grads_links) -> None:
                     f"{int(links.c1[i]) + 1}\t{int(links.c2[i]) + 1}\t"
                     f"{int(links.weight[i])}\t{int(links.gap[i])}\n"
                 )
+
+
+def read_links(prefix: str):
+    """Read *.links back: list (per gradation) of (c1, c2, weight, gap)
+    int arrays with 0-based directed contig ids (inverse of write_links)."""
+    grads = []
+    cur: List[Tuple[int, int, int, int]] = []
+    started = False
+    with open(prefix + ".links") as fh:
+        for line in fh:
+            if line.startswith("#grad"):
+                if started:
+                    grads.append(cur)
+                    cur = []
+                started = True
+                continue
+            t = line.split()
+            if len(t) >= 4:
+                cur.append((int(t[0]) - 1, int(t[1]) - 1,
+                            int(t[2]), int(t[3])))
+    if started:
+        grads.append(cur)
+    out = []
+    for cur in grads:
+        arr = np.array(cur, np.int64).reshape((-1, 4))
+        out.append((arr[:, 0].astype(np.int32), arr[:, 1].astype(np.int32),
+                    arr[:, 2].astype(np.int32), arr[:, 3].astype(np.int32)))
+    return out
 
 
 def write_contig_pos_in_scaff(prefix: str, scaffolds, ctg_len) -> None:

@@ -19,11 +19,101 @@ contig links directly (scaffold.build_links_for_grad).
 from __future__ import annotations
 
 import logging
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 from ..io import files as fio
 
 log = logging.getLogger("soapdenovo2_tpu.fusion")
+
+
+def potential(prefix: str, weight_cutoff: int = 3) -> List[int]:
+    """-O potential-analysis mode (fusion/potential.c ``potential:20``).
+
+    Estimates the scaffold lengths achievable from the current *.links
+    connection graph before actually scaffolding: for each unvisited
+    contig, walk the downward connections (links with weight >= 3,
+    potential.c:110) depth-first, accumulating gap + contig length, and
+    record the farthest cumulative span downstream plus upstream (via the
+    twin's downward connections; the reference's second loop re-walks the
+    already-marked forward side — a no-op — so the upstream walk here is
+    the evident intent; the seed contig's own length is also counted,
+    which the reference omits).  Prints the predicted length
+    distribution, its N50 and the used-contig count, and writes them to
+    ``prefix.potential``.
+    """
+    lengths: List[int] = []
+    with open(prefix + ".ContigIndex") as fh:
+        fh.readline()
+        for line in fh:
+            t = line.split()
+            if len(t) >= 2:
+                lengths.append(int(t[1]))
+    n_dir = 2 * len(lengths)
+
+    # downward adjacency over directed contig ids (2*ctg + strand)
+    down: Dict[int, List[Tuple[int, int]]] = {}
+    for c1, c2, w, gap in fio.read_links(prefix):
+        for i in range(c1.shape[0]):
+            if int(w[i]) < weight_cutoff:
+                continue
+            down.setdefault(int(c1[i]), []).append((int(c2[i]), int(gap[i])))
+
+    in_subgraph = [False] * n_dir
+
+    def _mark(c: int) -> None:
+        in_subgraph[c] = True
+        in_subgraph[c ^ 1] = True
+
+    def _walk(start: int) -> int:
+        """Farthest cumulative (gap + length) span reachable from start."""
+        max_dist = 0
+        stack = [(start, 0)]
+        while stack:
+            node, base = stack.pop()
+            for nxt, gap in down.get(node, ()):
+                if in_subgraph[nxt]:
+                    continue
+                _mark(nxt)
+                d = base + gap + lengths[nxt >> 1]
+                if d > max_dist:
+                    max_dist = d
+                stack.append((nxt, d))
+        return max_dist
+
+    predict: List[int] = []
+    used = 0
+    for i in range(n_dir):
+        if in_subgraph[i]:
+            continue
+        _mark(i)
+        used += 1
+        if not down.get(i) and not down.get(i ^ 1):
+            predict.append(lengths[i >> 1])
+            continue
+        span = _walk(i) + _walk(i ^ 1)
+        if span:
+            predict.append(span + lengths[i >> 1])
+
+    predict.sort(reverse=True)
+    total = sum(predict)
+    half = total // 2
+    acc = 0
+    n50 = 0
+    for v in predict:
+        acc += v
+        if acc >= half:
+            n50 = v
+            break
+    with open(prefix + ".potential", "w") as fh:
+        fh.write(f"#sum {total} half {half} N50 {n50} used_contigs {used}\n")
+        for v in predict:
+            fh.write(f"len:\t{v}\n")
+    print(f"sum {total} , half  {half}.")
+    print(f"N50 {n50} , half {half}.")
+    print(f"used contig {used}")
+    log.info("fusion -O: %d predicted scaffolds, N50 %d, sum %d",
+             len(predict), n50, total)
+    return predict
 
 
 def data_prepare(contig_fasta: str, prefix: str, k: int) -> int:

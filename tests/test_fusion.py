@@ -42,3 +42,26 @@ def test_fusion_scaffolds_external_contigs(tmp_path):
     best = max(scafs, key=len)
     # both contigs joined in one scaffold
     assert len(best) >= len(A) + len(B)
+
+    # -O potential analysis (fusion/potential.c): the *.links graph joins
+    # the two contigs, so the predicted N50 must span both
+    from soapdenovo2_tpu.models import fusion as fus
+
+    predict = fus.potential(prefix)
+    assert os.path.exists(prefix + ".potential")
+    assert max(predict) >= len(A) + len(B)
+
+    # -z COMPATIBLE_MODE: uncompressed map files must reproduce scafSeq
+    import gzip as _gz
+
+    with _gz.open(prefix + ".readOnContig.gz", "rt") as src, \
+            open(prefix + ".readOnContig", "w") as dst:
+        dst.write(src.read())
+    with _gz.open(prefix + ".readInGap.gz", "rt") as src, \
+            open(prefix + ".readInGap", "w") as dst:
+        dst.write(src.read())
+    os.remove(prefix + ".readOnContig.gz")
+    os.remove(prefix + ".readInGap.gz")
+    ref_scaf = open(prefix + ".scafSeq").read()
+    cli.main(["scaff", "-g", prefix, "-F", "-z"])
+    assert open(prefix + ".scafSeq").read() == ref_scaf
