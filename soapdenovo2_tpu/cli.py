@@ -84,6 +84,10 @@ def _scaff_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--arc-mask", dest="arc_mask", action="store_true",
                    help="mask repeats by arc weight (maskRepeatByArc, "
                         "disabled by default like the reference)")
+    p.add_argument("-B", dest="snp_cvg", type=float, default=0.0,
+                   help="SNP-bubble coverage cutoff relative to the "
+                        "average contig coverage (scaffold.c -B, "
+                        "removeBubbleCtg); 0 disables")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -140,6 +144,8 @@ def build_parser() -> argparse.ArgumentParser:
     allp.add_argument("-F", dest="fill_gaps", action="store_true")
     allp.add_argument("-L", dest="min_ctg_len", type=int, default=0)
     allp.add_argument("-k", dest="map_kmer", type=int, default=0)
+    allp.add_argument("-B", dest="snp_cvg", type=float, default=0.0,
+                      help="SNP-bubble coverage cutoff (scaff -B)")
     return ap
 
 
@@ -191,7 +197,7 @@ def cmd_contig(args) -> None:
         de_low_edge=args.edge_cov_cutoff, paths=paths,
     )
     n = ck.write_contigs(args.prefix, res.graph)
-    with open(args.prefix + ".bubbleInScaff", "w") as fh:
+    with open(args.prefix + ".bubbleSNP", "w") as fh:
         for keep, dele, sim, snps in res.graph.bubbles:
             fh.write(
                 f"{keep + 1}\t{dele + 1}\t{sim:.3f}\t"
@@ -260,13 +266,30 @@ def cmd_scaff(args) -> None:
         k = fio.read_pre_graph_basic(args.prefix)["k"]
     except (FileNotFoundError, KeyError):
         k = 0
+    cvg4snp = getattr(args, "snp_cvg", 0.0)
     sres = sf.run_scaff(
         mres, contigs, min_ctg_len=args.min_ctg_len, contig_cvg=cvg,
         fill=args.fill_gaps, ctg_arcs=ctg_arcs, k=k,
         mask_repeat_arc=getattr(args, "arc_mask", False),
         unmask=getattr(args, "unmask", False),
         gap_len_diff=getattr(args, "gap_len_diff", 50),
+        cvg4snp=cvg4snp,
     )
+    if cvg4snp > 0:
+        # *.bubbleInScaff: FASTA of each collapsed SNP-bubble contig pair
+        # (output_ctg, orderContig.c:7944: ">C<id> <cvg>")
+        def _snp_records():
+            for keep, dele in sres.snp_pairs:
+                for c in (keep, dele):
+                    hdr = "C%d %4.1f" % (
+                        (c >> 1) + 1,
+                        float(cvg[c >> 1]) if cvg is not None else 0.0,
+                    )
+                    yield hdr, contigs[c >> 1]
+
+        fio.write_fasta_generic(
+            args.prefix + ".bubbleInScaff", _snp_records()
+        )
     ctg_len = np.zeros((2 * len(contigs),), np.int64)
     for t, s in enumerate(contigs):
         ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)

@@ -152,18 +152,34 @@ class Scaffolder:
     simplified to unique-successor linearization)."""
 
     def __init__(self, ctg_len: np.ndarray, cvg: Optional[np.ndarray] = None,
-                 min_ctg_len: int = 0):
+                 min_ctg_len: int = 0, mask_high_cvg: bool = True,
+                 cvg4snp: float = 0.0,
+                 contig_seqs: Optional[List[str]] = None, k: int = 0):
         self.n_dir = ctg_len.shape[0]
         self.ctg_len = ctg_len
         self.chains: List[Scaffold] = []
         self.mask = np.zeros((self.n_dir,), bool)
-        if cvg is not None and cvg.size and (cvg > 0).any():
-            # maskRepeatByArc/cvg analog: contigs with > 2x mean coverage
-            # are repeat-masked for ordering (loadGraph.c:269 cvg_high)
-            mean_cvg = float(np.median(cvg[cvg > 0]))
-            self.mask |= cvg > 2.0 * mean_cvg
+        self.cvg_dir = (
+            np.asarray(cvg, np.float64) if cvg is not None else None
+        )
+        mean_cvg = 0.0
+        if self.cvg_dir is not None and self.cvg_dir.size and (
+            self.cvg_dir > 0
+        ).any():
+            mean_cvg = float(np.median(self.cvg_dir[self.cvg_dir > 0]))
+            if mask_high_cvg:
+                # maskRepeatByArc/cvg analog: contigs with > 2x mean
+                # coverage are repeat-masked (loadGraph.c:269 cvg_high)
+                self.mask |= self.cvg_dir > 2.0 * mean_cvg
         if min_ctg_len:
             self.mask |= ctg_len < min_ctg_len
+        # scaff -B: SNP-bubble coverage cutoff, relative to the average
+        # contig coverage (scaffold.c:203, orderContig.c:5780)
+        self.cvg4snp = cvg4snp * mean_cvg
+        self.contig_seqs = contig_seqs
+        self.k = k
+        self.snp_pairs: List[Tuple[int, int]] = []  # (kept, removed) dir ctg
+        self.bubble_flag = np.zeros((self.n_dir,), bool)
         for t in range(self.n_dir // 2):
             self.chains.append(Scaffold([2 * t], []))
         # accumulated contig-level links (weight, gap) across all ranks —
@@ -296,11 +312,22 @@ class Scaffolder:
         ins_var = 50 if insert_size >= 1000 else (
             30 if insert_size >= 300 else 20
         )
+        # removeBubbleCtg runs inside linearization for short-insert ranks
+        # only (orderContig.c:8159: Insert_size < 1000 && cvg4SNP > 0.001)
+        snp = (
+            insert_size < 1000
+            and self.cvg4snp > 1e-3
+            and self.contig_seqs is not None
+            and self.cvg_dir is not None
+            and self.k > 0
+        )
         self._general_linearization(linkset, chain_len_of, ins_var,
-                                    overlap_tol=0.05, confl_tol=0.05)
+                                    overlap_tol=0.05, confl_tol=0.05,
+                                    snp=snp)
         if last_rank:
             self._general_linearization(linkset, chain_len_of, ins_var,
-                                        overlap_tol=0.10, confl_tol=0.10)
+                                        overlap_tol=0.10, confl_tol=0.10,
+                                        snp=snp)
 
         # maskPuzzle (orderContig.c:1291): singleton chains that still
         # branch are repeat puzzles — mask them out of ordering (they come
@@ -364,6 +391,7 @@ class Scaffolder:
         overlap_tol: float,
         confl_tol: float,
         max_nodes: int = 32,
+        snp: bool = False,
     ) -> int:
         """Order bounded link subgraphs by estimated position and replace
         their links with a consistent linear chain.
@@ -424,6 +452,10 @@ class Scaffolder:
             if any((x ^ 1) in pos for x in pos):
                 continue
             order = sorted(pos.items(), key=lambda kv: (kv[1], kv[0]))
+            # SNP-bubble collapse over the ordered subgraph (-B,
+            # removeBubbleCtg orderContig.c:7986)
+            if snp and len(order) >= 2:
+                order = self._remove_bubble_ctg(order, linkset, chain_len_of)
             # checkOverlapInBetween_general: consecutive overlap bounded
             ok = True
             for (x, px), (y, py) in zip(order, order[1:]):
@@ -468,6 +500,90 @@ class Scaffolder:
             consumed |= members | members_m
             n_linearized += 1
         return n_linearized
+
+    # -- removeBubbleCtg (orderContig.c:7986) --------------------------------
+    def _single_ctg(self, node: int) -> Optional[int]:
+        """Directed contig id for an oriented singleton chain, else None."""
+        sc = self.chains[node >> 1]
+        if len(sc.ctgs) != 1:
+            return None
+        c = int(sc.ctgs[0])
+        return c ^ (node & 1)
+
+    def _transfer_links(self, lose: int, keep: int, linkset) -> None:
+        """transferCnt2RemainNode: move every connection of the removed
+        node (and its reverse complement) onto the kept node, summing
+        weights into existing links (orderContig.c removeBubbleCtg calls
+        it for both the node and its twin)."""
+        for kp in [k for k in linkset
+                   if lose in k or (lose ^ 1) in k]:
+            w, g = linkset.pop(kp)
+            a, b = kp
+            na = keep if a == lose else (keep ^ 1 if a == (lose ^ 1) else a)
+            nb = keep if b == lose else (keep ^ 1 if b == (lose ^ 1) else b)
+            if (na >> 1) == (nb >> 1):
+                continue
+            old = linkset.get((na, nb))
+            linkset[(na, nb)] = (old[0] + w, old[1]) if old else (w, g)
+
+    def _remove_bubble_ctg(self, order, linkset, chain_len_of):
+        """Collapse SNP bubbles between position-adjacent subgraph members.
+
+        Reference criteria (removeBubbleCtg, orderContig.c:8006): the two
+        contigs overlap in the layout (gap < 0), both coverages are below
+        cvg4SNP, there is no direct connection between them, and their
+        first and last k-mers are identical.  The lower-coverage contig
+        (tie: shorter) is masked and its connections transferred to the
+        kept one; both sequences are recorded for *.bubbleInScaff."""
+        out = []
+        cur, pcur = order[0]
+        for nxt, pnxt in order[1:]:
+            gap = pnxt - pcur - chain_len_of(cur)
+            if (
+                gap >= 0
+                or (cur, nxt) in linkset
+                or (nxt, cur) in linkset
+            ):
+                out.append((cur, pcur))
+                cur, pcur = nxt, pnxt
+                continue
+            ca = self._single_ctg(cur)
+            cb = self._single_ctg(nxt)
+            if (
+                ca is None
+                or cb is None
+                or self.cvg_dir[ca] >= self.cvg4snp
+                or self.cvg_dir[cb] >= self.cvg4snp
+            ):
+                out.append((cur, pcur))
+                cur, pcur = nxt, pnxt
+                continue
+            sa = _dir_ctg_seq(ca, self.contig_seqs)
+            sb = _dir_ctg_seq(cb, self.contig_seqs)
+            kk = self.k
+            if (
+                len(sa) < kk or len(sb) < kk
+                or sa[:kk] != sb[:kk] or sa[-kk:] != sb[-kk:]
+            ):
+                out.append((cur, pcur))
+                cur, pcur = nxt, pnxt
+                continue
+            # a bubble: keep higher coverage, tie-break on length
+            keep_cur = self.cvg_dir[ca] > self.cvg_dir[cb] or (
+                self.cvg_dir[ca] == self.cvg_dir[cb] and len(sa) > len(sb)
+            )
+            keep_n, lose_n = (cur, nxt) if keep_cur else (nxt, cur)
+            keep_c, lose_c = (ca, cb) if keep_cur else (cb, ca)
+            if not (self.bubble_flag[keep_c] and self.bubble_flag[lose_c]):
+                for c in (keep_c, lose_c):
+                    self.bubble_flag[c] = self.bubble_flag[c ^ 1] = True
+                self.snp_pairs.append((keep_c, lose_c))
+            self._transfer_links(lose_n, keep_n, linkset)
+            self.mask[lose_c] = self.mask[lose_c ^ 1] = True
+            if not keep_cur:
+                cur, pcur = nxt, pnxt  # winner continues as the cursor
+        out.append((cur, pcur))
+        return out
 
     def _mask_puzzle(
         self, linkset: Dict[Tuple[int, int], Tuple[float, int]]
@@ -799,6 +915,8 @@ class ScaffResult:
     arc_fills: List[Tuple[int, int, List[int]]] = dataclasses.field(
         default_factory=list
     )
+    # (kept, removed) directed contigs from -B SNP-bubble collapse
+    snp_pairs: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
 
 
 def run_scaff(
@@ -813,16 +931,19 @@ def run_scaff(
     mask_repeat_arc: bool = False,
     unmask: bool = False,
     gap_len_diff: int = 50,
+    cvg4snp: float = 0.0,
 ) -> ScaffResult:
     n = len(contig_seqs)
     ctg_len = np.zeros((2 * n,), np.int64)
     for t, s in enumerate(contig_seqs):
         ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
     cvg_dir = None
-    # -u (scaffold.c:149): keep high-coverage contigs unmasked
-    if contig_cvg is not None and not unmask:
+    if contig_cvg is not None:
         cvg_dir = np.repeat(np.asarray(contig_cvg, np.float64), 2)
-    sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=min_ctg_len)
+    # -u (scaffold.c:149): keep high-coverage contigs unmasked
+    sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=min_ctg_len,
+                    mask_high_cvg=not unmask, cvg4snp=cvg4snp,
+                    contig_seqs=contig_seqs, k=k)
     if mask_repeat_arc and ctg_arcs:
         n_arc_masked = sc.mask_repeat_by_arc(ctg_arcs)
         if n_arc_masked and progress:
@@ -896,10 +1017,14 @@ def run_scaff(
         seqs = [scaffold_sequence(s, contig_seqs) for s in scaffolds]
     stats = sim_utils.assembly_stats(seqs)
     if progress:
+        if sc.snp_pairs:
+            log.info("removeBubbleCtg: %d SNP bubble(s) collapsed",
+                     len(sc.snp_pairs))
         log.info("scaff: %s", stats)
     return ScaffResult(
         scaffolds=scaffolds, seqs=seqs, stats=stats, gap_seqs=gap_seqs,
         grads_links=grads_links, arc_fills=arc_fills,
+        snp_pairs=sc.snp_pairs,
     )
 
 

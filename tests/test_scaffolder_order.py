@@ -112,3 +112,55 @@ def test_recover_mask_inserts_masked_contig():
     assert _norm(chain) == (0, 2, 4)
     assert chain.gaps == [100, 100]
     assert not sc.mask[2] and not sc.mask[3]
+
+
+def test_remove_bubble_ctg_collapses_snp_pair():
+    # A -> {X, Y} -> B where X and Y are same-length SNP variants (same
+    # first/last k-mers, no direct link between them, low coverage):
+    # removeBubbleCtg keeps the higher-coverage variant, masks the other,
+    # and records the pair (orderContig.c:7986).
+    k = 5
+    seq_a = "A" * 100
+    seq_b = "G" * 100
+    core = "ACGTC" + "T" * 20
+    seq_x = core + "A" + "C" * 19 + "GTACG"  # len 50
+    seq_y = core + "G" + "C" * 19 + "GTACG"  # SNP in the middle
+    seqs = [seq_a, seq_x, seq_y, seq_b]
+    ctg_len = np.array([100, 100, 50, 50, 50, 50, 100, 100], np.int64)
+    cvg = np.repeat(np.array([30.0, 15.0, 14.0, 30.0]), 2)
+    sc = Scaffolder(ctg_len, cvg=cvg, cvg4snp=1.0, contig_seqs=seqs, k=k)
+    links = _links([
+        (0, 2, 5, 10),  # A -> X
+        (0, 4, 5, 10),  # A -> Y
+        (2, 6, 5, 10),  # X -> B
+        (4, 6, 5, 10),  # Y -> B
+    ])
+    sc.add_rank(links, 3, 300)
+    assert sc.snp_pairs == [(2, 4)]
+    assert sc.mask[4] and sc.mask[5]
+    assert not sc.mask[2]
+    chains = [c for c in sc.result() if len(c.ctgs) > 1]
+    assert len(chains) == 1
+    assert _norm(chains[0]) == (0, 2, 6)
+
+
+def test_remove_bubble_ctg_respects_direct_link_and_cvg():
+    # same topology but a direct X -> Y link exists: not a bubble
+    k = 5
+    core = "ACGTC" + "T" * 20
+    seq_x = core + "A" + "C" * 19 + "GTACG"
+    seq_y = core + "G" + "C" * 19 + "GTACG"
+    seqs = ["A" * 100, seq_x, seq_y, "G" * 100]
+    ctg_len = np.array([100, 100, 50, 50, 50, 50, 100, 100], np.int64)
+    cvg = np.repeat(np.array([30.0, 15.0, 14.0, 30.0]), 2)
+    sc = Scaffolder(ctg_len, cvg=cvg, cvg4snp=1.0, contig_seqs=seqs, k=k)
+    links = _links([
+        (0, 2, 5, 10),
+        (0, 4, 5, 10),
+        (2, 6, 5, 10),
+        (4, 6, 5, 10),
+        (2, 4, 4, -50),  # direct connection between the variants
+    ])
+    sc.add_rank(links, 3, 300)
+    assert sc.snp_pairs == []
+    assert not sc.mask[2] and not sc.mask[4]
