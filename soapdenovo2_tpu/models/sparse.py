@@ -291,6 +291,14 @@ def run_sparse_pregraph(
             g.node_words.shape[0], g.gap, len(g.edges),
         )
     g = prune_sparse(g, node_cov_cutoff, edge_cov_cutoff)
+    n_tips = remove_sparse_tips(g)
+    if n_tips and progress:
+        log.info("sparse tips: %d node(s) clipped", n_tips)
+    # standard stage files so `contig -g prefix` runs on sparse output
+    # (the reference flow: sparse_pregraph -> contig -> map -> scaff)
+    n_rec = write_sparse_pregraph_files(g, prefix, cfg.max_rd_len)
+    if progress:
+        log.info("sparse pregraph files: %d edge record(s)", n_rec)
     unitigs = sparse_to_unitigs(g)
     unitigs = [(s, c) for s, c in unitigs if len(s) >= k + 2]
     unitigs.sort(key=lambda x: (-len(x[0]), x[0]))
@@ -300,7 +308,6 @@ def run_sparse_pregraph(
         fh.write(f"Edge_num {len(records)}\n")
         for cid, seq, cvg in records:
             fh.write(f"{cid}\t{len(seq)}\t{cvg:.1f}\n")
-    fio.write_pre_graph_basic(prefix, 0, k, 2 * len(records), cfg.max_rd_len)
     if progress:
         from ..utils.simulate import assembly_stats
 
@@ -309,37 +316,50 @@ def run_sparse_pregraph(
     return unitigs
 
 
-def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
-    """Walk unambiguous sparse chains into unitig sequences
-    (build_edge.cpp kmer2edges:888, host-side over the small graph).
+@dataclasses.dataclass
+class SparseChain:
+    """A maximal unambiguous directed chain of the sparse graph."""
 
-    Returns (sequence, mean_node_cov) per unitig (each reported once,
-    canonical orientation chosen lexicographically).
-    """
+    seq: str
+    cov: float  # mean node coverage along the chain
+    start: Tuple[int, int]  # (node index, orientation)
+    end: Tuple[int, int]
+    nodes: List[int]  # node indices visited, in order
+    first_cov: int  # coverage of the chain's first kmer-edge (0 = none)
+
+
+def _state_kmer(g: SparseGraph, i: int, o: int) -> np.ndarray:
+    wds = g.node_words[i]
+    if o:
+        wds = np.asarray(
+            kops.reverse_complement(jnp.asarray(wds)[None], g.k)
+        )[0]
+    return wds
+
+
+def _seq_of_state(g: SparseGraph, st) -> str:
+    return kops.kmer_to_string(_state_kmer(g, *st), g.k)
+
+
+def _adjacency(g: SparseGraph):
+    """Directed adjacency over oriented nodes, twin-mirrored.
+
+    Returns (adj, radj) where adj[state] = [(bases, dst_state, cov), ...]
+    and radj[state] = number of incoming edges.  Edges touching deleted
+    (cov 0) nodes are dropped."""
     k = g.k
-    keys = g.node_words
-    idx_of = {keys[i].tobytes(): i for i in range(keys.shape[0])}
-
-    def state_kmer(i: int, o: int) -> np.ndarray:
-        wds = keys[i]
-        if o:
-            wds = np.asarray(
-                kops.reverse_complement(jnp.asarray(wds)[None], k)
-            )[0]
-        return wds
-
-    def seq_of_state(st) -> str:
-        return kops.kmer_to_string(state_kmer(*st), k)
-
-    # adjacency with both directions; dedup identical (src, bases, dst)
-    # since an edge may be observed directly on both strands AND mirrored
+    idx_of = {
+        g.node_words[i].tobytes(): i for i in range(g.node_words.shape[0])
+    }
+    # dedup identical (src, bases, dst) since an edge may be observed
+    # directly on both strands AND mirrored
     edge_cov: Dict[Tuple, int] = {}
     for (si, so, el, b0, b1), cov in g.edges.items():
         if g.node_cov[si] == 0:
             continue
         bases = tuple(_unpack_edge_bases(el, b0, b1))
         # destination k-mer: walk src's oriented k-mer through the bases
-        wds = jnp.asarray(state_kmer(si, so))[None]
+        wds = jnp.asarray(_state_kmer(g, si, so))[None]
         for b in bases:
             wds = kops.shift_left_append(wds, jnp.uint32(b), k)
         dst_plain = np.asarray(wds)[0]
@@ -358,7 +378,7 @@ def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
         )
         # mirror: flip(dst) -> flip(src); its bases are
         # comp(reverse(first m bases of the src oriented k-mer string))
-        src_str = seq_of_state((si, so))
+        src_str = _seq_of_state(g, (si, so))
         m = len(bases)
         mbases = tuple(
             (3 - int(kops._BASE_FROM_CHAR[ord(c)])) & 3
@@ -367,39 +387,50 @@ def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
         mkey = ((di, 1 - do), mbases, (si, 1 - so))
         edge_cov[mkey] = edge_cov.get(mkey, 0) + cov
 
-    adj: Dict[Tuple[int, int], List[Tuple[Tuple[int, ...], Tuple[int, int], int]]] = {}
+    adj: Dict[Tuple[int, int], List] = {}
     radj: Dict[Tuple[int, int], int] = {}
-    for (st, bases, dst), cov in edge_cov.items():
+    for (st, bases, dst), cov in sorted(edge_cov.items()):
         adj.setdefault(st, []).append((bases, dst, cov))
         radj[dst] = radj.get(dst, 0) + 1
+    return adj, radj
 
-    # emit unitigs exactly like the dense edge builder: a chain starts at
-    # every branch exit (state with out-degree != 1: each of its edges)
-    # and at every head (in-degree != 1), then extends while unambiguous
-    out: List[Tuple[str, float]] = []
+
+def sparse_chains(g: SparseGraph) -> List[SparseChain]:
+    """Walk unambiguous sparse chains (build_edge.cpp kmer2edges:888,
+    host-side over the small graph).  Every chain is reported in BOTH
+    orientations (mirror chains pair up as twins); isolated nodes become
+    single-k-mer chains."""
+    adj, radj = _adjacency(g)
+    out: List[SparseChain] = []
     guard = set()
+    n_edges = sum(len(v) for v in adj.values())
 
     def walk(start, first):
-        bases, dst, _ = first
-        seq = seq_of_state(start) + "".join("ACGT"[b] for b in bases)
+        bases, dst, fcov = first
+        seq = _seq_of_state(g, start) + "".join("ACGT"[b] for b in bases)
         covs = [int(g.node_cov[start[0]]), int(g.node_cov[dst[0]])]
+        nodes = [start[0], dst[0]]
         cur = dst
         steps = 0
         while (
             radj.get(cur, 0) == 1
             and len(adj.get(cur, [])) == 1
             and cur not in guard
-            and steps < len(edge_cov) + 2
+            and steps < n_edges + 2
         ):
             guard.add(cur)
             bases, nxt, _ = adj[cur][0]
             seq += "".join("ACGT"[b] for b in bases)
             covs.append(int(g.node_cov[nxt[0]]))
+            nodes.append(nxt[0])
             cur = nxt
             steps += 1
-        out.append((seq, float(np.mean(covs))))
+        out.append(SparseChain(
+            seq=seq, cov=float(np.mean(covs)), start=start, end=cur,
+            nodes=nodes, first_cov=int(fcov),
+        ))
 
-    for i in range(keys.shape[0]):
+    for i in range(g.node_words.shape[0]):
         if g.node_cov[i] == 0:
             continue
         isolated = True
@@ -414,13 +445,148 @@ def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
                 for e in outs:
                     walk(st, e)
         if isolated:
-            out.append((seq_of_state((i, 0)), float(g.node_cov[i])))
-    # deduplicate twins: keep lexicographically smaller of (seq, rc)
+            out.append(SparseChain(
+                seq=_seq_of_state(g, (i, 0)), cov=float(g.node_cov[i]),
+                start=(i, 0), end=(i, 0), nodes=[i], first_cov=0,
+            ))
+    return out
+
+
+def remove_sparse_tips(g: SparseGraph, max_rounds: int = 5) -> int:
+    """Sparse-graph tip clipping (removeMinorTips, build_edge.cpp:256):
+    dead-end chains shorter than 2k bases whose attachment edge carries a
+    minority (< 1/4) of the branch's outgoing coverage are deleted,
+    iterated to fixpoint.  Mirror chains make the one-sided (dead END)
+    test cover dead-start tips too."""
+    total = 0
+    for _ in range(max_rounds):
+        adj, radj = _adjacency(g)
+        removed = 0
+        for ch in sparse_chains(g):
+            if len(ch.nodes) < 2 or len(ch.seq) >= 2 * g.k:
+                continue
+            dead_end = len(adj.get(ch.end, ())) == 0
+            dead_start = radj.get(ch.start, 0) == 0
+            if not dead_end or dead_start:  # isolated handled by cov cutoffs
+                continue
+            competing = sum(c for _, _, c in adj.get(ch.start, ()))
+            if ch.first_cov * 4 > competing:
+                continue
+            for ni in ch.nodes[1:]:  # keep the attachment branch node
+                if g.node_cov[ni]:
+                    g.node_cov[ni] = 0
+                    removed += 1
+        total += removed
+        if not removed:
+            break
+    # drop edges whose src got deleted (dst checks happen in _adjacency)
+    if total:
+        g.edges = {
+            key: c for key, c in g.edges.items() if g.node_cov[key[0]] > 0
+        }
+    return total
+
+
+def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
+    """(sequence, mean_node_cov) per unitig, each reported once in the
+    lexicographically smaller orientation."""
     comp = bytes.maketrans(b"ACGTN", b"TGCAN")
     dedup: Dict[str, Tuple[str, float]] = {}
-    for seq, cov in out:
-        rc = seq.encode().translate(comp)[::-1].decode()
-        key = min(seq, rc)
-        if key not in dedup or len(seq) > len(dedup[key][0]):
-            dedup[key] = (key, cov)
+    for ch in sparse_chains(g):
+        rc = ch.seq.encode().translate(comp)[::-1].decode()
+        key = min(ch.seq, rc)
+        if key not in dedup or len(ch.seq) > len(dedup[key][0]):
+            dedup[key] = (key, ch.cov)
     return list(dedup.values())
+
+
+def write_sparse_pregraph_files(
+    g: SparseGraph, prefix: str, max_rd_len: int,
+) -> int:
+    """Emit standard pregraph stage files from the sparse graph
+    (convert_soapdenovo.cpp:248 + build_preArc.cpp roles): *.edge.gz,
+    *.vertex, *.preArc, *.preGraphBasic — so the standard ``contig`` stage
+    runs on sparse output unchanged.  Chains share junction k-mers, the
+    same k-base overlap convention as dense edges.
+
+    preArc multiplicity is the successor chain's first kmer-edge coverage
+    (per-pair read transit counts are not recorded by the sparse
+    representation — documented deviation).
+
+    Returns the number of undirected edge records."""
+    from ..io import files as fio
+
+    chains = sparse_chains(g)
+    n = len(chains)
+    comp = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+    def flip(st):
+        return (st[0], 1 - st[1])
+
+    key_of = {
+        (ch.seq, ch.start, ch.end): i for i, ch in enumerate(chains)
+    }
+    twin = list(range(n))
+    for i, ch in enumerate(chains):
+        rcseq = ch.seq.encode().translate(comp)[::-1].decode()
+        j = key_of.get((rcseq, flip(ch.end), flip(ch.start)))
+        twin[i] = j if j is not None else i
+    # undirected reps in deterministic order (edge_file_order convention:
+    # the rep is the direction with the lexicographically smaller seq)
+    reps: List[int] = []
+    seen = [False] * n
+    for i in sorted(range(n), key=lambda x: (chains[x].seq, x)):
+        if seen[i]:
+            continue
+        j = twin[i]
+        rep = i if chains[i].seq <= chains[j].seq else j
+        reps.append(rep)
+        seen[i] = seen[j] = True
+    dir_to_file: Dict[int, int] = {}
+    fid = 1
+    for rep in reps:
+        j = twin[rep]
+        dir_to_file[rep] = fid
+        if j != rep:
+            dir_to_file[j] = fid + 1
+            fid += 2
+        else:
+            fid += 1
+
+    def records():
+        for rep in reps:
+            ch = chains[rep]
+            bal = 1 if twin[rep] != rep else 0
+            yield (len(ch.seq) - g.k, ch.seq,
+                   min(int(round(ch.cov * 10)), 16000), bal)
+
+    n_rec = fio.write_edges(prefix, g.k, records())
+    vset = sorted(
+        {ch.start[0] for ch in chains} | {ch.end[0] for ch in chains}
+    )
+    if vset:
+        vkeys = g.node_words[np.asarray(vset, np.int64)]
+    else:
+        vkeys = np.zeros((0, g.node_words.shape[1]), np.uint32)
+    n_vertex = fio.write_vertex(prefix, vkeys, g.k)
+    fio.write_pre_graph_basic(prefix, n_vertex, g.k, fid - 1, max_rd_len)
+
+    starts: Dict[Tuple[int, int], List[int]] = {}
+    for i, ch in enumerate(chains):
+        if ch.first_cov:  # isolated single-node chains have no junctions
+            starts.setdefault(ch.start, []).append(i)
+    rows: List[Tuple[int, int]] = []
+    mult: List[int] = []
+    for i, ch in enumerate(chains):
+        if not ch.first_cov:
+            continue
+        for j in starts.get(ch.end, ()):
+            rows.append((dir_to_file[i], dir_to_file[j]))
+            mult.append(chains[j].first_cov)
+    order = sorted(range(len(rows)), key=lambda x: rows[x])
+    fio.write_pre_arcs(
+        prefix,
+        np.asarray([rows[x] for x in order], np.int64).reshape(-1, 2),
+        np.asarray([mult[x] for x in order], np.int64),
+    )
+    return n_rec

@@ -57,3 +57,55 @@ def test_sparse_cli_then_map_scaff(tmp_path):
     cli.main(["scaff", "-g", prefix, "-F"])
     scafs = [s for _, s in fio.read_fasta(prefix + ".scafSeq")]
     assert max(len(s) for s in scafs) >= 0.7 * len(gstr)
+
+
+def test_sparse_pregraph_feeds_standard_contig_stage(tmp_path):
+    # reference flow: sparse_pregraph emits *.edge.gz/*.vertex/*.preArc/
+    # *.preGraphBasic (convert_soapdenovo.cpp) and the STANDARD contig
+    # stage runs on them unchanged
+    d = str(tmp_path)
+    cfgp, genome = sim.make_test_config(
+        d, genome_len=5000, read_len=100, insert_size=350, coverage=30.0,
+        seed=404,
+    )
+    prefix = os.path.join(d, "spc")
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", prefix,
+              "-g", "10"])
+    for suffix in (".edge.gz", ".vertex", ".preArc", ".preGraphBasic"):
+        assert os.path.exists(prefix + suffix), suffix
+    cli.main(["contig", "-g", prefix])
+    contigs = [s for _, s in fio.read_contigs(prefix + ".contig")]
+    gstr = genome.decode()
+    best = max(contigs, key=len)
+    assert len(best) >= 0.7 * len(gstr)
+    assert best in gstr or revcomp_str(best) in gstr
+    # every contig is genomic sequence
+    for s in contigs:
+        if len(s) >= 50:
+            assert s in gstr or revcomp_str(s) in gstr
+
+
+def test_sparse_tip_clipping():
+    # a minority dead-end branch hanging off a well-covered path is clipped
+    genome = sim.random_genome(3000, seed=405)
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=100, insert_size=300,
+                                   coverage=30.0, seed=406)
+    reads = [x for pair in zip(r1, r2) for x in pair]
+    # tip reads: a short chimeric dead end branching mid-genome (the
+    # novel tail is < 2k bases, the removeMinorTips length class)
+    tip = genome[1480:1540] + sim.random_genome(12, seed=407)
+    reads += [tip] * 2  # weak support
+    g = sparse.build_sparse_graph(
+        rio.batch_reads(iter(reads), 512, 100), K, gap=8
+    )
+    g = sparse.prune_sparse(g, 1, 1)
+    before = [s for s, _ in sparse.sparse_to_unitigs(g)]
+    sparse.remove_sparse_tips(g)
+    after = [s for s, _ in sparse.sparse_to_unitigs(g)]
+    gstr = genome.decode()
+    best = max(after, key=len)
+    assert len(best) >= 0.8 * len(gstr)
+    # no unitig may retain the chimeric junction after clipping
+    for s in after:
+        if len(s) >= 50:
+            assert s in gstr or revcomp_str(s) in gstr, (len(s), len(before))
