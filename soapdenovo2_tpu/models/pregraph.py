@@ -167,21 +167,24 @@ class ArcAccumulator:
         batch = _arc_batch_table(from_e, to_e, valid)
         return self.merge(batch)
 
+    def grow_to(self, cap: int) -> "ArcAccumulator":
+        if cap <= self.keys.shape[0]:
+            return self
+        grown = ArcAccumulator.empty(cap)
+        return dataclasses.replace(
+            grown,
+            keys=grown.keys.at[: self.keys.shape[0]].set(self.keys),
+            mult=grown.mult.at[: self.mult.shape[0]].set(self.mult),
+            n=self.n,
+        )
+
     def merge(self, other: "ArcAccumulator") -> "ArcAccumulator":
         need = int(self.n) + int(other.n)
         cap = self.keys.shape[0]
         while need > cap:
             cap *= 2
-        if cap != self.keys.shape[0]:
-            grown = ArcAccumulator.empty(cap)
-            grown = dataclasses.replace(
-                grown,
-                keys=grown.keys.at[: self.keys.shape[0]].set(self.keys),
-                mult=grown.mult.at[: self.mult.shape[0]].set(self.mult),
-                n=self.n,
-            )
-            self = grown
-        return _merge_arcs(self, other, cap)
+        self = self.grow_to(cap)
+        return _merge_arcs_many((self, other), cap)
 
 
 @jax.jit
@@ -206,9 +209,11 @@ def _arc_batch_table(from_e, to_e, valid) -> ArcAccumulator:
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def _merge_arcs(a: ArcAccumulator, b: ArcAccumulator, capacity: int) -> ArcAccumulator:
-    keys = jnp.concatenate([a.keys, b.keys], axis=0)
-    mult = jnp.concatenate([a.mult, b.mult], axis=0)
+def _merge_arcs_many(tables, capacity: int) -> ArcAccumulator:
+    """Merge any number of arc tables in ONE sort + segment-reduce
+    (the LSM flush of the arc pass, mirroring sortcount.merge_many)."""
+    keys = jnp.concatenate([t.keys for t in tables], axis=0)
+    mult = jnp.concatenate([t.mult for t in tables], axis=0)
     sk, perm = sc.argsort_kmers(keys)
     mult = mult[perm]
     _, is_new = sc._segment_ids(sk)
@@ -293,6 +298,7 @@ def build_arcs(
     (prlRead2path.c ``recordPathBin:482``).
     """
     arcs = ArcAccumulator.empty()
+    capacity = arcs.keys.shape[0]
     state_edge = jnp.asarray(eg.state_edge)
     state_rank = jnp.asarray(eg.state_rank)
     patch_keys = jnp.asarray(eg.patch_keys)
@@ -300,21 +306,53 @@ def build_arcs(
     patch_twin = jnp.asarray(eg.patch_twin)
     marker = np.zeros((eg.n_edges,), np.int32)
     paths: Optional[List[np.ndarray]] = [] if record_paths else None
+    pending: list = []
+    FLUSH_N = 8  # constant merge fan-in => one XLA shape per capacity
 
-    for batch in batches:
-        prev, hit, is_arc, hits2d = _arc_pairs_from_batch(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k,
-            table.keys, state_edge, state_rank,
-            patch_keys, patch_edge, patch_twin,
-        )
-        arcs = arcs.add_pairs(prev, hit, is_arc)
+    def flush():
+        nonlocal arcs, capacity, pending
+        if not pending:
+            return
+        batch_cap = pending[0].keys.shape[0]
+        while len(pending) < FLUSH_N:
+            pending.append(ArcAccumulator.empty(batch_cap))
+        need = int(arcs.n) + sum(int(bt.n) for bt in pending)
+        while need > capacity:
+            capacity *= 2
+        arcs = arcs.grow_to(capacity)
+        arcs = _merge_arcs_many(tuple([arcs] + pending), capacity)
+        pending = []
+
+    def consume(prev, hit, is_arc, hits2d, n_rows):
+        nonlocal pending
+        pending.append(_arc_batch_table(prev, hit, is_arc))
+        if len(pending) >= FLUSH_N:
+            flush()
         if record_paths:
-            h = np.asarray(hits2d)[: batch.n]
+            h = np.asarray(hits2d)[:n_rows]
             for row in h:
                 path = _collapse_path(row)
                 if len(path) >= 3:
                     paths.append(path)
                     marker[path] = np.minimum(marker[path] + 1, 255)
+
+    in_flight = None  # ship next batch to device before consuming current
+    for batch in batches:
+        dev = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths), batch.n)
+        if in_flight is not None:
+            codes_d, lengths_d, n = in_flight
+            consume(*_arc_pairs_from_batch(
+                codes_d, lengths_d, k, table.keys, state_edge, state_rank,
+                patch_keys, patch_edge, patch_twin,
+            ), n)
+        in_flight = dev
+    if in_flight is not None:
+        codes_d, lengths_d, n = in_flight
+        consume(*_arc_pairs_from_batch(
+            codes_d, lengths_d, k, table.keys, state_edge, state_rank,
+            patch_keys, patch_edge, patch_twin,
+        ), n)
+    flush()
     return arcs, marker, paths
 
 
