@@ -7,8 +7,13 @@ inference), a small de Bruijn table is built per gap, and a
 flank-to-flank walk bridges the gap (localGraph/searchFgap:792); a direct
 flank-overlap check handles negative gaps (the readsCrossGap:2092 case).
 
-Runs host-side: gaps are small, few, and independent — the heavy read
-placement was already done on device in the map stage.
+The reference pops scaffolds off a mutex-guarded task queue, one thread
+per gap (prlReadFillGap.c:37-46).  Here the read-based gaps are batched
+and assembled in LOCKSTEP on the device (ops/localasm.py): vmapped
+sort/segment-reduce builds every gap's k-mer table at once and a single
+``lax.scan`` advances all walks one base per step.  A pure-host walk with
+identical semantics remains for parity testing and as a fallback for
+oversized read pools.
 """
 
 from __future__ import annotations
@@ -17,6 +22,9 @@ import dataclasses
 import logging
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
+from ..ops import kmer as kops
 from . import mapping as mp
 from . import scaffold as sf
 
@@ -24,6 +32,10 @@ log = logging.getLogger("soapdenovo2_tpu.gapfill")
 
 _CODE2CHAR = "ACGTN"
 _RC = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+# device batching caps: pools larger than R_MAX reads fall back to the
+# host walk (rare: gaps are short, local coverage is bounded)
+R_MAX = 256
 
 
 def _codes_to_str(b: bytes) -> str:
@@ -42,6 +54,10 @@ class GapFillStats:
     partial: int = 0
 
 
+def _next_pow2(x: int, lo: int = 8) -> int:
+    return max(lo, 1 << (max(x, 1) - 1).bit_length())
+
+
 def fill_gaps(
     scaffolds: List[sf.Scaffold],
     contig_seqs: List[str],
@@ -50,6 +66,7 @@ def fill_gaps(
     flank: int = 100,
     min_cov: int = 2,
     progress: bool = True,
+    use_device: bool = True,
 ) -> Tuple[List[str], List[str], GapFillStats]:
     """Fill N-gaps in scaffolds.
 
@@ -104,6 +121,40 @@ def fill_gaps(
             if sj == si and lo <= ge and hi >= gs:
                 pools.setdefault((sj, gj), []).append(seq)
 
+    # ---- pass A: decide every gap (overlap check, then batched assembly) --
+    bridges: Dict[Tuple[int, int], Optional[Tuple[str, object]]] = {}
+    jobs: List[Tuple[Tuple[int, int], str, str, List[str], int]] = []
+    for si, sc in enumerate(scaffolds):
+        for j in range(len(sc.gaps)):
+            if sf.is_splice(sc.gaps[j]):
+                continue
+            stats.n_gaps += 1
+            left = sf._dir_ctg_seq(int(sc.ctgs[j]), contig_seqs)
+            right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]), contig_seqs)
+            gap_est = max(int(sc.gaps[j]), 1)
+            olap = _flank_overlap(left, right, gap_est, k)
+            if olap is not None:
+                stats.overlap_merged += 1
+                bridges[(si, j)] = ("overlap", olap)
+                continue
+            reads = pools.get((si, j), [])
+            if not reads:
+                bridges[(si, j)] = None
+                continue
+            jobs.append(((si, j), left[-flank:], right[:flank],
+                         reads, gap_est))
+
+    if jobs:
+        if use_device:
+            _fill_jobs_device(jobs, bridges, k, flank, min_cov, stats)
+        else:
+            for key, lf, rf, reads, gap_est in jobs:
+                res = _walk_host(lf, rf, reads, gap_est, k, min_cov)
+                if res is not None:
+                    stats.filled += 1
+                bridges[key] = res
+
+    # ---- pass B: emit scaffold sequences -----------------------------------
     out_seqs: List[str] = []
     gap_seqs: List[str] = []
     for si, sc in enumerate(scaffolds):
@@ -117,27 +168,23 @@ def fill_gaps(
                     parts.append(right[sf.splice_overlap(sc.gaps[j]):])
                     parts.append("\0")  # marker: skip next piece
                     continue
-                stats.n_gaps += 1
-                left = parts[-1]
-                right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]), contig_seqs)
                 gap_est = max(int(sc.gaps[j]), 1)
-                bridge = _close_gap(
-                    left, right, pools.get((si, j), []), gap_est,
-                    k=k, flank=flank, min_cov=min_cov, stats=stats,
-                )
+                bridge = bridges.get((si, j))
                 if bridge is None:
                     parts.append("N" * gap_est)
                 else:
-                    kind, seq = bridge
+                    kind, val = bridge
                     if kind == "overlap":
-                        # flanks overlap by `seq` bases: emit the right
+                        # flanks overlap by `val` bases: emit the right
                         # contig trimmed, and mark its normal emission
                         # (next outer iteration) for removal
-                        parts.append(right[seq:])
+                        right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]),
+                                                contig_seqs)
+                        parts.append(right[val:])
                         parts.append("\0")  # marker: skip next piece
                     else:
-                        gap_seqs.append(seq)
-                        parts.append(seq)
+                        gap_seqs.append(val)
+                        parts.append(val)
         # resolve overlap markers: "\0" means the following contig was
         # already emitted
         final: List[str] = []
@@ -160,24 +207,88 @@ def fill_gaps(
     return out_seqs, gap_seqs, stats
 
 
-def _close_gap(
-    left: str, right: str, reads: List[str], gap_est: int,
-    k: int, flank: int, min_cov: int, stats: GapFillStats,
-) -> Optional[Tuple[str, object]]:
-    """Try to bridge one gap.  Returns ("fill", seq) with the bridge
-    between the contigs, ("overlap", n) if the flanks directly overlap by
-    n bases, or None."""
-    # negative/tiny gap: direct overlap of flanks (readsCrossGap-style)
+def _flank_overlap(left: str, right: str, gap_est: int, k: int
+                   ) -> Optional[int]:
+    """Negative/tiny gap: direct overlap of flanks (readsCrossGap-style).
+    Returns the overlap length or None."""
     max_olap = min(len(left), len(right), max(gap_est, 0) + 3 * k + 50)
     for n in range(max_olap, k - 1, -1):
         if left[-n:] == right[:n]:
-            stats.overlap_merged += 1
-            return ("overlap", n)
-    if not reads:
-        return None
+            return n
+    return None
 
-    lf = left[-flank:]
-    rf = right[:flank]
+
+def _fill_jobs_device(
+    jobs, bridges, k: int, flank: int, min_cov: int, stats: GapFillStats
+) -> None:
+    """Run read-based gap jobs through the lockstep device assembler,
+    bucketed by (pool-size, read-length, walk-length) shape."""
+    from ..ops import localasm
+
+    import jax.numpy as jnp
+
+    host_jobs = [jb for jb in jobs if len(jb[3]) > R_MAX]
+    dev_jobs = [jb for jb in jobs if len(jb[3]) <= R_MAX]
+    for key, lf, rf, reads, gap_est in host_jobs:
+        res = _walk_host(lf, rf, reads, gap_est, k, min_cov)
+        if res is not None:
+            stats.filled += 1
+        bridges[key] = res
+    if not dev_jobs:
+        return
+
+    R = _next_pow2(max(len(jb[3]) for jb in dev_jobs))
+    LR = max(max(len(r) for r in jb[3]) for jb in dev_jobs)
+    LR = max(LR, k + 1)
+    F = max(flank, k + 1)
+    limits = [jb[4] + 4 * k + 200 for jb in dev_jobs]
+    max_walk = -(-max(limits) // 64) * 64
+    G = _next_pow2(len(dev_jobs), lo=4)
+
+    reads_arr = np.full((G, R, LR), kops.BASE_N, np.uint8)
+    lf_arr = np.full((G, F), kops.BASE_N, np.uint8)
+    rf_arr = np.full((G, F), kops.BASE_N, np.uint8)
+    limit_arr = np.zeros((G,), np.int32)
+    live_arr = np.zeros((G,), bool)
+    for g, (key, lf, rf, reads, gap_est) in enumerate(dev_jobs):
+        for ri, r in enumerate(reads):
+            codes = kops.codes_from_ascii(
+                np.frombuffer(r.encode(), np.uint8)
+            )
+            reads_arr[g, ri, : len(codes)] = codes
+        lfc = kops.codes_from_ascii(np.frombuffer(lf.encode(), np.uint8))
+        rfc = kops.codes_from_ascii(np.frombuffer(rf.encode(), np.uint8))
+        lf_arr[g, F - len(lfc):] = lfc  # right-aligned: seed = last k codes
+        rf_arr[g, : len(rfc)] = rfc
+        limit_arr[g] = limits[g]
+        live_arr[g] = True
+
+    batch = localasm.GapBatch(
+        reads=jnp.asarray(reads_arr),
+        lflank=jnp.asarray(lf_arr),
+        rflank=jnp.asarray(rf_arr),
+        limit=jnp.asarray(limit_arr),
+        live=jnp.asarray(live_arr),
+    )
+    res = localasm.fill_gap_batch(batch, k=k, min_cov=min_cov,
+                                  max_walk=max_walk)
+    success = np.asarray(res.success)
+    fill_len = np.asarray(res.fill_len)
+    bases = np.asarray(res.bases)
+    for g, (key, lf, rf, reads, gap_est) in enumerate(dev_jobs):
+        if success[g]:
+            seq = "".join(_CODE2CHAR[b] for b in bases[g, : fill_len[g]])
+            bridges[key] = ("fill", seq)
+            stats.filled += 1
+        else:
+            bridges[key] = None
+
+
+def _walk_host(
+    lf: str, rf: str, reads: List[str], gap_est: int, k: int, min_cov: int
+) -> Optional[Tuple[str, str]]:
+    """Host reference walk (identical semantics to the device kernel;
+    kept for parity tests and oversized pools)."""
     # k-mer extension table from the gap reads (both strands) + flanks
     nxt: Dict[str, Dict[str, int]] = {}
 
@@ -215,7 +326,6 @@ def _close_gap(
             # lf+bridge ends with rf[land:land+k], so the right contig's
             # base 0 aligns at len(bridge) - k - land past the left end
             fill_len = len(bridge) - k - landing[km]
-            stats.filled += 1
             return ("fill", "".join(bridge)[:fill_len])
         d = nxt.get(km)
         if not d:

@@ -386,6 +386,76 @@ def extract_kmers(codes, lengths, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def extract_kmers_directed(codes, k: int):
+    """Directed (non-canonical) k-mers at every position of each row.
+
+    Same log-doubling combiner as ``extract_kmers`` but forward strand
+    only and with validity derived purely from base codes (pad reads with
+    ``BASE_N``; no lengths argument).  Used by the batched gap-fill local
+    assembler, where walk direction matters (localAsm.c builds its mini
+    de Bruijn graph from directed read k-mers plus their reverse
+    complements as separate entries).
+
+    Args:
+      codes: (..., L) uint8 base codes.
+      k: odd k in [13, 127].
+    Returns:
+      words: (..., P, W) directed k-mer registers, P = L - k + 1
+      valid: (..., P) bool — all k bases are ACGT
+    """
+    validate_k(k)
+    lead = codes.shape[:-1]
+    L = codes.shape[-1]
+    if L < k:
+        raise ValueError(f"read buffer length {L} < k={k}")
+    W = num_words(k)
+    P = L - k + 1
+    flat = codes.reshape((-1, L))
+    B = flat.shape[0]
+
+    base = flat.astype(jnp.uint32)
+    ok = flat < BASE_N
+    b_safe = jnp.where(ok, base, 0)
+
+    zero = jnp.zeros((B, L), jnp.uint32)
+    spans = {1: ([zero] * (W - 1) + [b_safe], ok)}
+    m = 1
+    while 2 * m <= k:
+        f, v = spans[m]
+        f2 = _mw_or(_mw_shl(f, 2 * m), _advance_mw(f, m))
+        v2 = v & _advance(v, m)
+        m *= 2
+        spans[m] = (f2, v2)
+
+    remaining = k
+    acc = None
+    for p in sorted(spans, reverse=True):
+        if p > remaining:
+            continue
+        f, v = spans[p]
+        if acc is None:
+            acc = (f, v, p)
+        else:
+            fa, va, off = acc
+            fa = _mw_or(_mw_shl(fa, 2 * p), _advance_mw(f, off))
+            va = va & _advance(v, off)
+            acc = (fa, va, off + p)
+        remaining -= p
+    fwd, val, covered = acc
+    assert covered == k
+
+    mask0 = jnp.uint32(top_word_mask(k))
+    fwd = [v[:, :P] for v in fwd]
+    fwd[0] = fwd[0] & mask0
+    words = jnp.stack(fwd, axis=-1)
+    valid = val[:, :P]
+    return (
+        words.reshape(lead + (P, W)),
+        valid.reshape(lead + (P,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def extract_kmers_scan(codes, lengths, k: int):
     """Chop every read into canonical k-mers with flanking-base context.
 

@@ -60,3 +60,48 @@ def test_unfillable_gap_stays_n():
     )
     assert seqs[0] == A + "N" * 77 + B
     assert stats.filled == 0
+
+
+def test_device_host_walk_parity():
+    """The lockstep device assembler must reproduce the host greedy walk
+    bridge-for-bridge on a batch of random gaps (some unfillable)."""
+    rng = np.random.default_rng(777)
+    k, flank, min_cov = 17, 100, 2
+    jobs = []
+    for t in range(9):
+        genome = sim.random_genome(900, seed=200 + t).decode()
+        a_end = 350
+        b_start = 350 + 40 + 13 * t  # gap lengths 40..144
+        left, right = genome[:a_end], genome[b_start:]
+        gap_est = b_start - a_end
+        reads = []
+        if t % 3 != 2:  # every third gap has no read support -> unfillable
+            rl = 80
+            for s in range(a_end - 120, b_start + 40, 7):
+                reads.append(genome[s : s + rl])
+        jobs.append((left[-flank:], right[:flank], reads, gap_est,
+                     genome[a_end:b_start]))
+
+    # host truth
+    host = [
+        gapfill._walk_host(lf, rf, reads, ge, k, min_cov)
+        for lf, rf, reads, ge, _ in jobs
+    ]
+    # device: run through the public batching path
+    bridges = {}
+    dev_jobs = [((0, i), lf, rf, reads, ge)
+                for i, (lf, rf, reads, ge, _) in enumerate(jobs) if reads]
+    stats = gapfill.GapFillStats()
+    gapfill._fill_jobs_device(dev_jobs, bridges, k, flank, min_cov, stats)
+
+    n_filled = 0
+    for i, (lf, rf, reads, ge, true_mid) in enumerate(jobs):
+        h = host[i]
+        d = bridges.get((0, i)) if reads else None
+        assert (h is None) == (d is None), f"gap {i}: host={h} dev={d}"
+        if h is not None:
+            assert d == h, f"gap {i}"
+            assert h[1] == true_mid  # greedy walk recovers the true gap
+            n_filled += 1
+    assert n_filled >= 4  # the supported gaps actually closed
+    assert stats.filled == n_filled
