@@ -56,13 +56,16 @@ def main() -> None:
     )
     lengths = jnp.full((B,), L, jnp.int32)
 
+    FLUSH_N = 8  # the production LSM fan-in (models/pregraph.py)
+    CAP = 1 << 23  # running-table capacity, ~5Mb-genome scale
+
     @jax.jit
-    def step(codes, lengths):
-        # the streaming count pass's per-batch kernel (compact=False is
-        # the production path; merge_many amortizes over 8 batches)
+    def batch_step(codes, lengths):
+        # per-batch kernel of the streaming count pass: extract + RAW
+        # table (no sort; merge_many reduces once per FLUSH_N batches)
         out = kops.extract_kmers(codes, lengths, K)
         b, p, w = out["words"].shape
-        t = sc.count_batch(
+        return sc.count_batch(
             out["words"].reshape(b * p, w),
             out["valid"].reshape(b * p),
             out["left"].reshape(b * p),
@@ -70,19 +73,20 @@ def main() -> None:
             b * p,
             compact=False,
         )
-        # reduce over ALL outputs so nothing is dead-code-eliminated
-        return (
-            t.n
-            + t.keys.astype(jnp.uint32).sum().astype(jnp.int32)
-            + t.covs.astype(jnp.int32).sum()
-        )
 
-    int(step(codes, lengths))  # compile + sync
+    def lsm_cycle(table):
+        # one full production cycle: FLUSH_N raw batches + one merge
+        pending = [batch_step(codes, lengths) for _ in range(FLUSH_N)]
+        return sc.merge_many(tuple([table] + pending), CAP)
+
+    table = sc.empty_table(CAP, K)
+    table = jax.block_until_ready(lsm_cycle(table))  # compile + warm table
     t0 = time.time()
     for _ in range(ITERS):
-        int(step(codes, lengths))
+        table = lsm_cycle(table)
+    jax.block_until_ready(table)
     dt = (time.time() - t0) / ITERS
-    kmers = B * (L - K + 1)
+    kmers = FLUSH_N * B * (L - K + 1)
     value = kmers / dt
     print(
         json.dumps(

@@ -67,8 +67,9 @@ def count_reads_to_table(
         valid = out["valid"].reshape(b * p)
         left = out["left"].reshape(b * p)
         right = out["right"].reshape(b * p)
-        # mask-only (non-compacted) batch tables: merge_many re-sorts
-        # anyway, so batch-level compaction would be wasted scatter work
+        # RAW batch tables (no per-batch sort or reduce): merge_many
+        # sorts and reduces everything once per FLUSH_N batches, and
+        # saturating addition makes the deferred reduction exact
         return sc.count_batch(words, valid, left, right, b * p,
                               compact=False)
 
@@ -189,8 +190,11 @@ class ArcAccumulator:
 
 @jax.jit
 def _arc_batch_table(from_e, to_e, valid) -> ArcAccumulator:
-    """Mask-only per-batch arc table (head rows live, rest sentineled)."""
-    n = from_e.shape[0]
+    """RAW per-batch arc table: no sort, duplicates uncollapsed, every
+    valid row live with mult 1.  Arc multiplicity addition is plain (not
+    saturating), so deferring ALL reduction to the LSM flush is exact and
+    the per-batch sort would be pure overhead (same argument as the raw
+    count-pass tables, sortcount.count_batch compact=False)."""
     keys = jnp.stack(
         [
             jnp.where(valid, from_e, -1).astype(jnp.uint32),
@@ -198,14 +202,10 @@ def _arc_batch_table(from_e, to_e, valid) -> ArcAccumulator:
         ],
         axis=1,
     )
-    sk, _ = sc.argsort_kmers(keys)
-    _, is_new = sc._segment_ids(sk)
-    sums = sc._group_sums(jnp.ones((n, 1), jnp.int32), is_new)
-    live_head = is_new & ~jnp.all(sk == jnp.uint32(0xFFFFFFFF), axis=-1)
-    ukeys = jnp.where(live_head[:, None], sk, jnp.uint32(0xFFFFFFFF))
-    mult = jnp.where(live_head, sums[:, 0], 0)
-    n_live = jnp.sum(live_head.astype(jnp.int32))
-    return ArcAccumulator(keys=ukeys, mult=mult, n=n_live)
+    mult = valid.astype(jnp.int32)
+    return ArcAccumulator(
+        keys=keys, mult=mult, n=jnp.sum(valid.astype(jnp.int32))
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -216,15 +216,11 @@ def _merge_arcs_many(tables, capacity: int) -> ArcAccumulator:
     mult = jnp.concatenate([t.mult for t in tables], axis=0)
     sk, perm = sc.argsort_kmers(keys)
     mult = mult[perm]
-    _, is_new = sc._segment_ids(sk)
-    sums = sc._group_sums(mult[:, None], is_new)
-    live_head = is_new & ~jnp.all(sk == jnp.uint32(0xFFFFFFFF), axis=-1)
-    ukeys, out = sc._sort_compact(sk, sums, live_head, capacity)
-    n_live = jnp.sum(live_head.astype(jnp.int32))
-    live = jnp.arange(capacity) < n_live
-    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
-    out = jnp.where(live[:, None], out, 0)
-    return ArcAccumulator(keys=ukeys, mult=out[:, 0], n=n_live)
+    # mult values are unbounded -> full-range (16-bit split) scan path
+    ukeys, sums, n_live = sc.reduce_sorted_groups(
+        sk, mult[:, None], capacity, exact_max=None
+    )
+    return ArcAccumulator(keys=ukeys, mult=sums[:, 0], n=n_live)
 
 
 jax.tree_util.register_dataclass(

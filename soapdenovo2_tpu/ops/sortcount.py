@@ -71,6 +71,115 @@ def _is_sentinel(words):
     return jnp.all(words == jnp.uint32(0xFFFFFFFF), axis=-1)
 
 
+def _head_mask(sorted_words):
+    """True at the first row of each group of equal sorted keys."""
+    neq = jnp.any(sorted_words[1:] != sorted_words[:-1], axis=-1)
+    return jnp.concatenate([jnp.ones((1,), bool), neq])
+
+
+# ---------------------------------------------------------------------------
+# MXU-tiled exact prefix sums (the scan engine under every segment reduce)
+# ---------------------------------------------------------------------------
+
+
+def exclusive_cumsum_cols(x, exact_max: int | None, tile: int = 512):
+    """Exact per-column EXCLUSIVE prefix sums of a non-negative (N, C)
+    int32 array, with the within-tile scan as one lower-triangular f32
+    matmul on the MXU.
+
+    XLA's native cumsum along a long leading axis is the dominant cost of
+    the sort/segment-reduce counting path on TPU (it lowers to a
+    logarithmic shift/add chain of full-array passes).  A strictly-lower-
+    triangular ones matrix turns the within-tile scan into dense matmul
+    work the MXU eats, leaving only a (N/tile, C) carry for the serial
+    part.  f32 accumulation is EXACT while every within-tile sum stays
+    under 2**24: callers pass ``exact_max`` (max per-row value) to pick
+    the single-matmul path; values without a useful bound take the
+    16-bit split path (two matmuls at tile=256, exact for the full u32
+    range of row values).
+    """
+    n, c = x.shape
+    if exact_max is not None and exact_max * tile < (1 << 24):
+        split = False
+    else:
+        split = True
+        tile = 256  # 256 * 65535 < 2**24: each half stays exact
+    t = -(-n // tile)
+    pad = t * tile - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, c), x.dtype)])
+    if split:
+        lo = (x & 0xFFFF).astype(jnp.float32)
+        hi = ((x >> 16) & 0xFFFF).astype(jnp.float32)
+        xt = jnp.concatenate([lo, hi], axis=1).reshape(t, tile, 2 * c)
+    else:
+        xt = x.astype(jnp.float32).reshape(t, tile, c)
+    tri = jnp.tril(jnp.ones((tile, tile), jnp.float32), k=-1)
+    within = jnp.einsum(
+        "ij,tjc->tic", tri, xt, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    if split:
+        within = within[..., :c] + (within[..., c:] << 16)
+        xi = (x.reshape(t, tile, c)).astype(jnp.int32)
+    else:
+        xi = xt.astype(jnp.int32)
+    tile_tot = within[:, -1, :] + xi[:, -1, :]  # (T, C) inclusive totals
+    carry = jnp.cumsum(tile_tot, axis=0) - tile_tot  # exclusive, tiny
+    out = (within + carry[:, None, :]).reshape(t * tile, c)
+    return out[:n]
+
+
+def reduce_sorted_groups(sorted_words, cols, capacity: int,
+                         exact_max: int | None):
+    """Sorted rows -> front-compacted unique keys + per-key column sums.
+
+    The whole segment reduction is ONE exclusive prefix sum plus a head
+    scatter: with ``cols`` zeroed on sentinel rows, group j's sum is
+    ``S_ex[head_{j+1}] - S_ex[head_j]`` (the final live group differences
+    against the grand total), so neither a next-head suffix scan nor a
+    per-row gather is needed.  Head rank comes from the same prefix sum
+    (an extra 0/1 column), giving the scatter slots for free.
+
+    Returns (keys (capacity, W), sums (capacity, C) int32, n_live).
+    """
+    n, w = sorted_words.shape
+    c = cols.shape[1]
+    live_row = ~_is_sentinel(sorted_words)
+    cols = jnp.where(live_row[:, None], cols, 0)
+    is_new = _head_mask(sorted_words)
+    live_head = is_new & live_row
+    aug = jnp.concatenate(
+        [cols, live_head.astype(jnp.int32)[:, None]], axis=1
+    )
+    bound = None if exact_max is None else max(int(exact_max), 1)
+    S = exclusive_cumsum_cols(aug, bound)
+    S_cols, head_rank = S[:, :c], S[:, c]
+    total = S_cols[-1] + cols[-1]  # (C,)
+    n_live = (head_rank[-1] + live_head[-1]).astype(jnp.int32)
+    # head compaction WITHOUT a scatter (XLA scatters serialize on TPU):
+    # a single-operand sort of (dead-bit | row-index) tags yields the
+    # head positions in order; two ascending gathers fetch keys and S.
+    idx31 = jnp.arange(n, dtype=jnp.uint32)
+    tag = jnp.where(live_head, jnp.uint32(0), jnp.uint32(0x80000000)) | idx31
+    tag_sorted = jax.lax.sort((tag,), num_keys=1)[0]
+    take = min(capacity, n)
+    head_pos = (tag_sorted[:take] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    if capacity > n:
+        head_pos = jnp.concatenate(
+            [head_pos, jnp.zeros((capacity - n,), jnp.int32)]
+        )
+    ukeys = sorted_words[head_pos]
+    Sh = S_cols[head_pos]
+    nxt = jnp.concatenate([Sh[1:], total[None]], axis=0)
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    nxt = jnp.where((idx[:, None] + 1) < n_live, nxt, total[None])
+    sums = nxt - Sh
+    live = idx < n_live
+    sums = jnp.where(live[:, None], sums, 0)
+    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+    return ukeys, sums, n_live
+
+
 def _group_last(is_new):
     """Index of the LAST row of each row's group (sorted input): one
     simple suffix-min scan over next-head positions."""
@@ -121,24 +230,48 @@ def _sort_compact(sorted_words, rows, is_new, capacity: int):
     return keys, rows
 
 
+def _flank_cols(left, right, valid):
+    """(N, 9) per-occurrence coverage contributions: 4 left one-hots,
+    4 right one-hots, occurrence count."""
+    n = left.shape[0]
+    cols = jnp.stack(
+        [(left == c).astype(jnp.int32) for c in range(4)]
+        + [(right == c).astype(jnp.int32) for c in range(4)]
+        + [jnp.ones((n,), jnp.int32)],
+        axis=-1,
+    )
+    return jnp.where(valid[:, None], cols, 0)
+
+
 def count_batch(words, valid, left, right, out_capacity: int,
                 compact: bool = True):
-    """Collapse one extraction batch into a sorted unique table.
+    """Collapse one extraction batch into a k-mer table.
 
     Args:
       words: (N, W) canonical k-mers; valid: (N,) bool;
       left/right: (N,) uint8 strand-adjusted flanking base codes (4 = none).
       out_capacity: static output table capacity (>= N is always safe).
-      compact: move unique entries to the front (binary-searchable).
-        With False (the streaming count pass), rows stay in sorted order
-        with non-head rows sentineled — half the work, and merge_many
-        accepts either form.
+      compact: True -> sort + reduce to a binary-searchable unique table.
+        False -> RAW mode (the streaming count pass): no sort at all;
+        every valid row stays live with its per-occurrence one-hot covs
+        and duplicate keys uncollapsed.  Saturating merge addition makes
+        deferring the whole reduction to ``merge_many`` exact
+        (min(cap, sum of partials) == min(cap, total)), so per-batch
+        sorting would be pure overhead.  ``n`` is then the count of valid
+        ROWS (an upper bound on unique keys, which is all the LSM flush
+        sizing needs).  RAW tables are valid ONLY as merge_many inputs.
 
-    Returns a KmerTable whose covs are the in-batch sums clipped to the
-    saturating caps.
+    Returns a KmerTable; compact covs are clipped to the saturating caps.
     """
     n, w = words.shape
     words = jnp.where(valid[:, None], words, jnp.uint32(0xFFFFFFFF))
+    if not compact:
+        if out_capacity != n:
+            raise ValueError("raw tables keep their row count")
+        covs = _flank_cols(left, right, valid).astype(jnp.uint16)
+        return KmerTable(
+            keys=words, covs=covs, n=jnp.sum(valid.astype(jnp.int32))
+        )
     # pack the per-kmer flank codes INTO the sort payload word (bits 24..29
     # above a 24-bit row index) so the sort itself carries them instead of
     # two post-sort gathers
@@ -154,41 +287,36 @@ def count_batch(words, valid, left, right, out_capacity: int,
     pay_s = out[w]
     left_s = (pay_s >> 24) & jnp.uint32(7)
     right_s = (pay_s >> 27) & jnp.uint32(7)
-    seg, is_new = _segment_ids(sorted_words)
-
-    cols = jnp.stack(
-        [(left_s == c).astype(jnp.int32) for c in range(4)]
-        + [(right_s == c).astype(jnp.int32) for c in range(4)]
-        + [jnp.ones((n,), jnp.int32)],
-        axis=-1,
-    )  # (N, 9): 8 one-hots + occurrence count
-    sums = _group_sums(cols, is_new)  # valid at head rows
-
-    n_groups = seg[-1] + 1
-    has_sent = _is_sentinel(sorted_words[-1])
-    n_live = (jnp.where(has_sent, n_groups - 1, n_groups)).astype(jnp.int32)
-
-    sent_head = is_new & _is_sentinel(sorted_words)
-    live_head = is_new & ~sent_head
-    if compact:
-        keys, covs = _sort_compact(
-            sorted_words, sums, live_head, out_capacity
-        )
-        live = jnp.arange(out_capacity, dtype=jnp.int32) < n_live
-        covs = jnp.where(live[:, None], covs, 0)
-        keys = jnp.where(live[:, None], keys, jnp.uint32(0xFFFFFFFF))
-    else:
-        # mask-only batch table: head rows hold (key, sums); all other
-        # rows are sentinels.  NOT binary-searchable (sentinels are
-        # interspersed) — valid only as merge_many input.
-        keys = jnp.where(
-            live_head[:, None], sorted_words, jnp.uint32(0xFFFFFFFF)
-        )
-        covs = jnp.where(live_head[:, None], sums, 0)
-        if out_capacity != n:
-            raise ValueError("non-compact tables keep their row count")
-    covs = jnp.minimum(covs, COV_CAPS[None, :]).astype(jnp.uint16)
+    cols = _flank_cols(
+        left_s, right_s, jnp.ones((n,), bool)
+    )  # sentinel rows zeroed inside reduce_sorted_groups
+    keys, sums, n_live = reduce_sorted_groups(
+        sorted_words, cols, out_capacity, exact_max=1
+    )
+    covs = jnp.minimum(sums, COV_CAPS[None, :]).astype(jnp.uint16)
     return KmerTable(keys=keys, covs=covs, n=n_live)
+
+
+def _pack_covs(covs):
+    """(N, 9) saturating covs (4x6b left, 4x6b right, 8b total) -> two
+    u32 payload words.  The caps (63/63/255) make every table's covs fit
+    56 bits, so the merge sort carries 8 payload bytes per row instead of
+    36."""
+    c = covs.astype(jnp.uint32)
+    p0 = c[:, 0] | (c[:, 1] << 6) | (c[:, 2] << 12) | (c[:, 3] << 18) \
+        | (c[:, 8] << 24)
+    p1 = c[:, 4] | (c[:, 5] << 6) | (c[:, 6] << 12) | (c[:, 7] << 18)
+    return p0, p1
+
+
+def _unpack_covs(p0, p1):
+    m6 = jnp.uint32(63)
+    cols = [
+        p0 & m6, (p0 >> 6) & m6, (p0 >> 12) & m6, (p0 >> 18) & m6,
+        p1 & m6, (p1 >> 6) & m6, (p1 >> 12) & m6, (p1 >> 18) & m6,
+        (p0 >> 24) & jnp.uint32(255),
+    ]
+    return jnp.stack([x.astype(jnp.int32) for x in cols], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -200,29 +328,19 @@ def merge_many(tables, capacity: int) -> KmerTable:
     counting regardless of merge tree shape.
     """
     keys = jnp.concatenate([t.keys for t in tables], axis=0)
-    covs = jnp.concatenate(
-        [t.covs.astype(jnp.int32) for t in tables], axis=0
+    covs = jnp.concatenate([t.covs for t in tables], axis=0)
+    w = keys.shape[1]
+    p0, p1 = _pack_covs(covs)
+    out = jax.lax.sort(
+        tuple(keys[:, i] for i in range(w)) + (p0, p1), num_keys=w
     )
-    sorted_keys, perm = argsort_kmers(keys)
-    covs = covs[perm]
-    seg, is_new = _segment_ids(sorted_keys)
-    sums = _group_sums(covs, is_new)
-    n_groups = seg[-1] + 1
-    has_sent = _is_sentinel(sorted_keys[-1])
-    n_live = (jnp.where(has_sent, n_groups - 1, n_groups)).astype(jnp.int32)
-    live_head = is_new & ~_is_sentinel(sorted_keys)
-    # unique-index scatter compaction: merges run once per FLUSH_N batches
-    # so the scatter cost amortizes, and it compiles far faster than a
-    # second full sort at these shapes
-    head_slot = jnp.where(live_head, seg, capacity)
-    ukeys = jnp.full((capacity, keys.shape[1]), 0xFFFFFFFF, jnp.uint32)
-    ukeys = ukeys.at[head_slot].set(sorted_keys, mode="drop")
-    merged = jnp.zeros((capacity, N_COV), jnp.int32)
-    merged = merged.at[head_slot].set(sums, mode="drop")
-    live = jnp.arange(capacity, dtype=jnp.int32) < n_live
-    merged = jnp.where(live[:, None], merged, 0)
-    ukeys = jnp.where(live[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
-    merged = jnp.minimum(merged, COV_CAPS[None, :]).astype(jnp.uint16)
+    sorted_keys = jnp.stack(out[:w], axis=-1)
+    cols = _unpack_covs(out[w], out[w + 1])
+    # row values are clipped covs (<=255) or raw one-hots (<=1)
+    ukeys, sums, n_live = reduce_sorted_groups(
+        sorted_keys, cols, capacity, exact_max=255
+    )
+    merged = jnp.minimum(sums, COV_CAPS[None, :]).astype(jnp.uint16)
     return KmerTable(keys=ukeys, covs=merged, n=n_live)
 
 

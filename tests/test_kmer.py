@@ -121,3 +121,56 @@ def test_extract_fast_matches_scan(k, rng):
     va = np.asarray(a["valid"])
     wa, wb = np.asarray(a["words"]), np.asarray(b["words"])
     assert (wa[va] == wb[va]).all()
+
+
+def test_exclusive_cumsum_cols_exact():
+    import jax.numpy as jnp
+    from soapdenovo2_tpu.ops import sortcount as sc
+
+    rng = np.random.default_rng(5)
+    for n in (1, 7, 511, 512, 513, 5000):
+        x = rng.integers(0, 200, size=(n, 3)).astype(np.int32)
+        want = np.cumsum(x, axis=0) - x
+        got = np.asarray(sc.exclusive_cumsum_cols(jnp.asarray(x), 255))
+        np.testing.assert_array_equal(got, want)
+    # full-range split path (no exact_max bound); totals must stay in
+    # int32 — the same inherent bound as the reference's int counters
+    x = rng.integers(0, 2**18, size=(3000, 2)).astype(np.int32)
+    want = (np.cumsum(x, axis=0) - x).astype(np.int32)
+    got = np.asarray(sc.exclusive_cumsum_cols(jnp.asarray(x), None))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reduce_sorted_groups_matches_brute_force():
+    import jax.numpy as jnp
+    from soapdenovo2_tpu.ops import sortcount as sc
+
+    rng = np.random.default_rng(9)
+    n, cap = 4000, 4000
+    # small key space -> many duplicate groups; ~10% sentinel rows
+    keys = rng.integers(0, 50, size=(n, 2)).astype(np.uint32)
+    sent = rng.random(n) < 0.1
+    keys[sent] = 0xFFFFFFFF
+    cols = rng.integers(0, 5, size=(n, 3)).astype(np.int32)
+    order = np.lexsort((keys[:, 1], keys[:, 0]))
+    keys_s, cols_s = keys[order], cols[order]
+    ukeys, sums, n_live = map(
+        np.asarray,
+        sc.reduce_sorted_groups(jnp.asarray(keys_s), jnp.asarray(cols_s),
+                                cap, exact_max=4),
+    )
+    # brute force
+    uniq = {}
+    for i in range(n):
+        if sent[order[i]]:
+            continue
+        kk = tuple(keys_s[i])
+        uniq.setdefault(kk, np.zeros(3, np.int64))
+        uniq[kk] += cols_s[i]
+    want_keys = sorted(uniq)
+    assert int(n_live) == len(want_keys)
+    for j, kk in enumerate(want_keys):
+        assert tuple(ukeys[j]) == kk
+        np.testing.assert_array_equal(sums[j], uniq[kk])
+    assert np.all(ukeys[len(want_keys):] == 0xFFFFFFFF)
+    assert np.all(sums[len(want_keys):] == 0)
