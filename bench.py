@@ -56,7 +56,7 @@ def main() -> None:
     )
     lengths = jnp.full((B,), L, jnp.int32)
 
-    FLUSH_N = 8  # the production LSM fan-in (models/pregraph.py)
+    FLUSH_N = 32  # the production LSM fan-in (models/pregraph.py)
     CAP = 1 << 23  # running-table capacity, ~5Mb-genome scale
 
     @jax.jit

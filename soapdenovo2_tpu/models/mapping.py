@@ -226,11 +226,10 @@ def map_reads(
     flip = jnp.asarray(index.flip.astype(np.int8))
     clen = jnp.asarray(index.ctg_len)
     n_reads = 0
-    for batch in batch_iter:
-        ctg, position, mapped, multi_ctg = _map_batch(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
-            keys, cid, pos_a, flip, clen,
-        )
+
+    def consume(batch, dev_out):
+        nonlocal n_reads
+        ctg, position, mapped, multi_ctg = dev_out
         ctg = np.asarray(ctg)[: batch.n]
         position = np.asarray(position)[: batch.n]
         mapped_np = np.asarray(mapped)[: batch.n]
@@ -243,19 +242,36 @@ def map_reads(
         gap_list.append(ids[multi_np])
         if gap_pool is not None and batch.start_id % 2 == 0:
             half = batch.n // 2
-            for p in range(half):
-                a, b = 2 * p, 2 * p + 1
-                for me, mate in ((a, b), (b, a)):
-                    if mapped_np[mate] and (
-                        not mapped_np[me] or multi_np[me]
-                    ):
-                        gap_pool.seqs.append(
-                            batch.codes[me, : batch.lengths[me]].tobytes()
-                        )
-                        gap_pool.anchor_ctg.append(int(ctg[mate]))
-                        gap_pool.anchor_pos.append(int(position[mate]))
-                        gap_pool.insert_size.append(insert_size)
+            m = mapped_np[: 2 * half].reshape(half, 2)
+            mc = multi_np[: 2 * half].reshape(half, 2)
+            c2 = ctg[: 2 * half].reshape(half, 2)
+            p2 = position[: 2 * half].reshape(half, 2)
+            for me_col in (0, 1):
+                mate_col = 1 - me_col
+                take = m[:, mate_col] & (~m[:, me_col] | mc[:, me_col])
+                for p in np.nonzero(take)[0]:
+                    i = 2 * p + me_col
+                    gap_pool.seqs.append(
+                        batch.codes[i, : batch.lengths[i]].tobytes()
+                    )
+                    gap_pool.anchor_ctg.append(int(c2[p, mate_col]))
+                    gap_pool.anchor_pos.append(int(p2[p, mate_col]))
+                    gap_pool.insert_size.append(insert_size)
         n_reads += batch.n
+
+    # ship the next batch to the device before draining the current one
+    # (the reference's AIO double buffering, prlRead2Ctg.c batch loop)
+    in_flight = None
+    for batch in batch_iter:
+        dev = _map_batch(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
+            keys, cid, pos_a, flip, clen,
+        )
+        if in_flight is not None:
+            consume(*in_flight)
+        in_flight = (batch, dev)
+    if in_flight is not None:
+        consume(*in_flight)
     if rid_list:
         read_id = np.concatenate(rid_list)
         ctg_arr = np.concatenate(ctg_list)

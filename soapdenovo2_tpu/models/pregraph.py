@@ -57,7 +57,7 @@ def count_reads_to_table(
     capacity = init_capacity
     n_reads = 0
     pending: list = []
-    FLUSH_N = 8  # constant merge fan-in => one XLA shape per capacity
+    FLUSH_N = 32  # constant merge fan-in => one XLA shape per capacity
 
     @jax.jit
     def batch_table(codes, lengths):
@@ -303,7 +303,7 @@ def build_arcs(
     marker = np.zeros((eg.n_edges,), np.int32)
     paths: Optional[List[np.ndarray]] = [] if record_paths else None
     pending: list = []
-    FLUSH_N = 8  # constant merge fan-in => one XLA shape per capacity
+    FLUSH_N = 32  # constant merge fan-in => one XLA shape per capacity
 
     def flush():
         nonlocal arcs, capacity, pending

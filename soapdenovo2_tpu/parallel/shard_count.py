@@ -52,23 +52,26 @@ def _bucket_by_shard(words, valid, left, right, n_shards: int, cap: int):
     words_s = words[perm]
     left_s = left[perm]
     right_s = right[perm]
-    # rank of each element within its bucket
+    # bucket placement by GATHER, not scatter (TPU scatters serialize):
+    # slot (s, r) of the bucket grid reads sorted row offsets[s] + r
     counts = jnp.bincount(shard_s, length=n_shards + 1)[:n_shards]
     offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])[
         :n_shards
     ]
-    rank = iota - offsets[jnp.minimum(shard_s, n_shards - 1)]
-    in_cap = (shard_s < n_shards) & (rank < cap)
-    slot = jnp.where(in_cap, shard_s * cap + rank, n_shards * cap)
-    bw = jnp.full((n_shards * cap + 1, w), 0xFFFFFFFF, jnp.uint32)
-    bw = bw.at[slot].set(jnp.where(in_cap[:, None], words_s, jnp.uint32(0xFFFFFFFF)))
-    bl = jnp.full((n_shards * cap + 1,), 255, jnp.uint8).at[slot].set(left_s)
-    br = jnp.full((n_shards * cap + 1,), 255, jnp.uint8).at[slot].set(right_s)
-    dropped = jnp.sum((shard_s < n_shards) & (rank >= cap))
+    grid_s = jnp.repeat(jnp.arange(n_shards, dtype=jnp.int32), cap)
+    grid_r = jnp.tile(jnp.arange(cap, dtype=jnp.int32), n_shards)
+    filled = grid_r < counts[grid_s]
+    src = jnp.where(filled, offsets[grid_s] + grid_r, 0)
+    bw = jnp.where(
+        filled[:, None], words_s[src], jnp.uint32(0xFFFFFFFF)
+    )
+    bl = jnp.where(filled, left_s[src], jnp.uint8(255))
+    br = jnp.where(filled, right_s[src], jnp.uint8(255))
+    dropped = jnp.sum(jnp.maximum(counts - cap, 0))
     return (
-        bw[:-1].reshape(n_shards, cap, w),
-        bl[:-1].reshape(n_shards, cap),
-        br[:-1].reshape(n_shards, cap),
+        bw.reshape(n_shards, cap, w),
+        bl.reshape(n_shards, cap),
+        br.reshape(n_shards, cap),
         dropped,
     )
 
