@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -44,6 +45,15 @@ log = logging.getLogger("soapdenovo2_tpu.scaff")
 
 def twin_ctg(c: np.ndarray):
     return c ^ 1
+
+
+def _fnv1a(s: str) -> int:
+    """64-bit FNV-1a of a sequence string (never returns 0)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h or 1
 
 
 @dataclasses.dataclass
@@ -154,7 +164,8 @@ class Scaffolder:
     def __init__(self, ctg_len: np.ndarray, cvg: Optional[np.ndarray] = None,
                  min_ctg_len: int = 0, mask_high_cvg: bool = True,
                  cvg4snp: float = 0.0,
-                 contig_seqs: Optional[List[str]] = None, k: int = 0):
+                 contig_seqs: Optional[List[str]] = None, k: int = 0,
+                 use_native: Optional[bool] = None):
         self.n_dir = ctg_len.shape[0]
         self.ctg_len = ctg_len
         self.chains: List[Scaffold] = []
@@ -187,6 +198,32 @@ class Scaffolder:
         self.ctg_links: Dict[Tuple[int, int], Tuple[int, int]] = {}
         self.n_breaks = 0
         self.n_recovered = 0
+        # native (C++) ordering core: identical decision logic compiled
+        # for human-genome link-graph scale (the reference's orderContig.c
+        # is native C for the same reason); None = auto (use if it builds)
+        if use_native is None:
+            use_native = os.environ.get(
+                "SOAPDENOVO2_TPU_NATIVE_SCAFFOLD", "1"
+            ) != "0"
+        self.use_native = use_native
+        self._sigs: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def _seq_sigs(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per directed contig: FNV-1a signatures of the first and last k
+        bases (0 = unavailable) — the native core's stand-in for the
+        removeBubbleCtg end-kmer string equality test."""
+        if self._sigs is not None:
+            return self._sigs
+        head = np.zeros((self.n_dir,), np.uint64)
+        tail = np.zeros((self.n_dir,), np.uint64)
+        if self.contig_seqs is not None and self.k > 0:
+            for c in range(self.n_dir):
+                s = _dir_ctg_seq(c, self.contig_seqs)
+                if len(s) >= self.k:
+                    head[c] = _fnv1a(s[: self.k])
+                    tail[c] = _fnv1a(s[-self.k:])
+        self._sigs = (head, tail)
+        return self._sigs
 
     def _remember_links(self, links: LinkTable) -> None:
         for a, b, w, g in zip(links.c1, links.c2, links.weight, links.gap):
@@ -228,6 +265,14 @@ class Scaffolder:
         if links.c1.size == 0:
             return
         self._remember_links(links)
+        if self.use_native:
+            from .. import native as native_mod
+
+            lib = native_mod.get_scaffolder_lib()
+            if lib is not None and self._add_rank_native(
+                lib, links, pair_cutoff, insert_size, last_rank
+            ):
+                return
         w_ok = links.weight >= pair_cutoff  # deleteWeakCnt:1356
         masked = self.mask[links.c1] | self.mask[links.c2]
         keep = w_ok & ~masked
@@ -358,7 +403,9 @@ class Scaffolder:
         # build next-chain mapping on oriented chains
         nxt = dict(succ)
         has_pred = {b for (b, _) in nxt.values()}
-        for start in list(nxt.keys()) + [
+        # sorted start order: deterministic and port-stable (cycle chains,
+        # which have no head, break at their smallest member)
+        for start in sorted(nxt.keys()) + [
             i for i in range(2 * len(self.chains))
         ]:
             ch = start >> 1
@@ -381,6 +428,94 @@ class Scaffolder:
                 cur = b
             merged.append(self._stitch(path, gaps))
         self.chains = merged
+
+    def _add_rank_native(self, lib, links: LinkTable, pair_cutoff: int,
+                         insert_size: int, last_rank: bool) -> bool:
+        """Run one ordering rank through the C++ core (native/scaffolder.cpp
+        — statement-for-statement the same pipeline as the Python code
+        below; parity-tested in tests/test_scaffolder_native.py)."""
+        import ctypes
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f64p = ctypes.POINTER(ctypes.c_double)
+
+        n_dir = self.n_dir
+        ctg_len = np.ascontiguousarray(self.ctg_len, dtype=np.int64)
+        mask = np.ascontiguousarray(self.mask, dtype=np.uint8)
+        bub = np.ascontiguousarray(self.bubble_flag, dtype=np.uint8)
+        snp_possible = (
+            insert_size < 1000 and self.cvg4snp > 1e-3
+            and self.contig_seqs is not None
+            and self.cvg_dir is not None and self.k > 0
+        )
+        if snp_possible:
+            head, tail = self._seq_sigs()
+        else:
+            head = np.zeros((n_dir,), np.uint64)
+            tail = head
+        if self.cvg_dir is not None:
+            cvg = np.ascontiguousarray(self.cvg_dir, dtype=np.float64)
+            cvg_p = cvg.ctypes.data_as(f64p)
+        else:
+            cvg_p = f64p()
+        n_ch = len(self.chains)
+        ptr = np.zeros((n_ch + 1,), np.int64)
+        for i, sc in enumerate(self.chains):
+            ptr[i + 1] = ptr[i] + len(sc.ctgs)
+        total_ctgs = int(ptr[-1])
+        ctgs = np.zeros((max(total_ctgs, 1),), np.int64)
+        gaps = np.zeros((max(total_ctgs, 1),), np.int64)
+        gi = 0
+        for i, sc in enumerate(self.chains):
+            ctgs[int(ptr[i]): int(ptr[i + 1])] = sc.ctgs
+            for g in sc.gaps:
+                gaps[gi] = g
+                gi += 1
+        m = int(links.c1.size)
+        c1 = np.ascontiguousarray(links.c1, np.int64)
+        c2 = np.ascontiguousarray(links.c2, np.int64)
+        lw = np.ascontiguousarray(links.weight, np.int64)
+        lg = np.ascontiguousarray(links.gap, np.int64)
+        out_ptr = np.zeros((n_ch + 2,), np.int64)
+        out_ctgs = np.zeros((max(total_ctgs, 1),), np.int64)
+        out_gaps = np.zeros((max(total_ctgs, 1),), np.int64)
+        out_snp = np.zeros((2 * n_dir + 2,), np.int64)
+        out_counts = np.zeros((5,), np.int64)
+
+        def P(a, t=i64p):
+            return a.ctypes.data_as(t)
+
+        rc = lib.scaff_ordering_rank(
+            n_dir, P(ctg_len), P(mask, u8p), cvg_p, P(bub, u8p),
+            n_ch, P(ptr), P(ctgs), P(gaps),
+            m, P(c1), P(c2), P(lw), P(lg),
+            int(pair_cutoff), int(insert_size), int(bool(last_rank)),
+            float(self.cvg4snp), int(snp_possible),
+            P(head, u64p), P(tail, u64p),
+            P(out_ptr), P(out_ctgs), P(out_gaps), P(out_snp), P(out_counts),
+        )
+        if rc != 0:
+            return False
+        n_out = int(out_counts[0])
+        new_chains: List[Scaffold] = []
+        gpos = 0
+        for i in range(n_out):
+            b, e = int(out_ptr[i]), int(out_ptr[i + 1])
+            cl = [int(x) for x in out_ctgs[b:e]]
+            ng = e - b - 1
+            gl = [int(x) for x in out_gaps[gpos: gpos + ng]]
+            gpos += ng
+            new_chains.append(Scaffold(cl, gl))
+        self.chains = new_chains
+        self.mask = mask.astype(bool)
+        self.bubble_flag = bub.astype(bool)
+        for i in range(int(out_counts[2])):
+            self.snp_pairs.append(
+                (int(out_snp[2 * i]), int(out_snp[2 * i + 1]))
+            )
+        return True
 
     # -- general_linearization (orderContig.c:8123) -------------------------
     def _general_linearization(
@@ -515,8 +650,8 @@ class Scaffolder:
         node (and its reverse complement) onto the kept node, summing
         weights into existing links (orderContig.c removeBubbleCtg calls
         it for both the node and its twin)."""
-        for kp in [k for k in linkset
-                   if lose in k or (lose ^ 1) in k]:
+        for kp in sorted(k for k in linkset
+                         if lose in k or (lose ^ 1) in k):
             w, g = linkset.pop(kp)
             a, b = kp
             na = keep if a == lose else (keep ^ 1 if a == (lose ^ 1) else a)

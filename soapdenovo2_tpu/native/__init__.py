@@ -72,3 +72,53 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.gz_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+_SCAF_SO = os.path.join(_DIR, "libscaffolder.so")
+_SCAF_SRC = os.path.join(_DIR, "scaffolder.cpp")
+_scaf_lib: Optional[ctypes.CDLL] = None
+_scaf_tried = False
+
+
+def get_scaffolder_lib() -> Optional[ctypes.CDLL]:
+    """The native scaffold-ordering core (None when unavailable)."""
+    global _scaf_lib, _scaf_tried
+    with _lock:
+        if _scaf_lib is not None or _scaf_tried:
+            return _scaf_lib
+        _scaf_tried = True
+        if not os.path.exists(_SCAF_SO) or (
+            os.path.getmtime(_SCAF_SO) < os.path.getmtime(_SCAF_SRC)
+        ):
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", _SCAF_SRC, "-o", _SCAF_SO,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=180)
+            except Exception as e:  # noqa: BLE001
+                log.warning(
+                    "native scaffolder build failed (%s); python path", e
+                )
+                return None
+        try:
+            lib = ctypes.CDLL(_SCAF_SO)
+        except OSError as e:
+            log.warning("native scaffolder load failed (%s)", e)
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.scaff_ordering_rank.restype = ctypes.c_int64
+        lib.scaff_ordering_rank.argtypes = [
+            ctypes.c_int64, i64p, u8p, f64p, u8p,          # ctg state
+            ctypes.c_int64, i64p, i64p, i64p,              # chains
+            ctypes.c_int64, i64p, i64p, i64p, i64p,        # links
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # params
+            ctypes.c_double, ctypes.c_int64, u64p, u64p,   # snp
+            i64p, i64p, i64p, i64p, i64p,                  # outputs
+        ]
+        _scaf_lib = lib
+        return _scaf_lib

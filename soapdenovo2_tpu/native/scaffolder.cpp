@@ -1,0 +1,597 @@
+// Native scaffold-ordering core: one rank of the contig-ordering pipeline.
+//
+// C++ counterpart of models/scaffold.py Scaffolder.add_rank (itself the
+// TPU-framework redesign of the reference's orderContig.c ordering:2351 —
+// downSlide -> deleteWeakCnt -> removeTransitive -> general_linearization
+// -> maskPuzzle -> freezing).  The decision logic is identical to the
+// Python implementation statement for statement (parity-tested); this
+// exists because the reference's scaffolder is native C for a reason —
+// at human-genome contig counts the per-rank link graph has millions of
+// entries and a Python dict loop becomes the pipeline bottleneck.
+//
+// Interface: plain C ABI over flat arrays (ctypes; no pybind11 in the
+// image).  Chain state ping-pongs host-side between ranks.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <set>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+using std::int64_t;
+using std::uint64_t;
+using std::uint8_t;
+
+constexpr int64_t SPLICE_BASE = -(1LL << 20);
+
+inline int64_t gap_span(int64_t g) {
+  if (g <= SPLICE_BASE) return -(SPLICE_BASE - g);  // spliced exact overlap
+  return g > 1 ? g : 1;
+}
+
+inline uint64_t key2(int64_t a, int64_t b) {
+  return (static_cast<uint64_t>(a) << 32) | static_cast<uint64_t>(b);
+}
+
+struct LinkVal {
+  double w;
+  int64_t g;
+};
+
+// linkset ordered by key => iteration order == Python's sorted() order
+using LinkSet = std::map<uint64_t, LinkVal>;
+
+struct Ctx {
+  int64_t n_dir;
+  const int64_t* ctg_len;
+  uint8_t* mask;          // per directed ctg, in/out
+  const double* cvg;      // may be null
+  uint8_t* bubble_flag;   // per directed ctg, in/out
+  // chains
+  int64_t n_chains;
+  const int64_t* chain_ptr;
+  const int64_t* chain_ctgs;
+  const int64_t* chain_gaps;  // chain i gaps at [ptr[i]-i, ptr[i+1]-(i+1))
+  // params
+  int64_t insert_size;
+  double cvg4snp;
+  int snp_enabled;
+  const uint64_t* head_sig;  // per directed ctg (0 when unavailable)
+  const uint64_t* tail_sig;
+  // outputs
+  int64_t* snp_pairs;  // 2*n_dir capacity
+  int64_t n_snp;
+  int64_t n_masked_puzzle;
+  int64_t n_linearized;
+
+  std::vector<int64_t> chain_total;  // per chain
+
+  int64_t chain_len_of(int64_t node) const { return chain_total[node >> 1]; }
+
+  int64_t n_chain_ctgs(int64_t ch) const {
+    return chain_ptr[ch + 1] - chain_ptr[ch];
+  }
+
+  // directed contig id for an oriented singleton chain, else -1
+  int64_t single_ctg(int64_t node) const {
+    int64_t ch = node >> 1;
+    if (n_chain_ctgs(ch) != 1) return -1;
+    int64_t c = chain_ctgs[chain_ptr[ch]];
+    return c ^ (node & 1);
+  }
+};
+
+// --- transferCnt2RemainNode (scaffold.py _transfer_links) -----------------
+void transfer_links(Ctx& ctx, int64_t lose, int64_t keep, LinkSet& ls) {
+  std::vector<uint64_t> hit;
+  for (auto& kv : ls) {
+    int64_t a = static_cast<int64_t>(kv.first >> 32);
+    int64_t b = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+    if (a == lose || b == lose || a == (lose ^ 1) || b == (lose ^ 1))
+      hit.push_back(kv.first);
+  }
+  // std::map iteration is key-sorted == the Python side's sorted() loop
+  for (uint64_t kp : hit) {
+    auto it = ls.find(kp);
+    if (it == ls.end()) continue;
+    LinkVal v = it->second;
+    ls.erase(it);
+    int64_t a = static_cast<int64_t>(kp >> 32);
+    int64_t b = static_cast<int64_t>(kp & 0xFFFFFFFFu);
+    int64_t na = a == lose ? keep : (a == (lose ^ 1) ? (keep ^ 1) : a);
+    int64_t nb = b == lose ? keep : (b == (lose ^ 1) ? (keep ^ 1) : b);
+    if ((na >> 1) == (nb >> 1)) continue;
+    auto old = ls.find(key2(na, nb));
+    if (old != ls.end())
+      old->second.w += v.w;  // keep existing gap
+    else
+      ls[key2(na, nb)] = v;
+  }
+}
+
+// --- removeBubbleCtg (scaffold.py _remove_bubble_ctg) ---------------------
+// order: (node, pos) pairs sorted by (pos, node); returns collapsed order.
+std::vector<std::pair<int64_t, int64_t>> remove_bubble_ctg(
+    Ctx& ctx, const std::vector<std::pair<int64_t, int64_t>>& order,
+    LinkSet& ls) {
+  std::vector<std::pair<int64_t, int64_t>> out;
+  int64_t cur = order[0].first, pcur = order[0].second;
+  for (size_t i = 1; i < order.size(); ++i) {
+    int64_t nxt = order[i].first, pnxt = order[i].second;
+    int64_t gap = pnxt - pcur - ctx.chain_len_of(cur);
+    if (gap >= 0 || ls.count(key2(cur, nxt)) || ls.count(key2(nxt, cur))) {
+      out.emplace_back(cur, pcur);
+      cur = nxt;
+      pcur = pnxt;
+      continue;
+    }
+    int64_t ca = ctx.single_ctg(cur);
+    int64_t cb = ctx.single_ctg(nxt);
+    if (ca < 0 || cb < 0 || ctx.cvg == nullptr ||
+        ctx.cvg[ca] >= ctx.cvg4snp || ctx.cvg[cb] >= ctx.cvg4snp) {
+      out.emplace_back(cur, pcur);
+      cur = nxt;
+      pcur = pnxt;
+      continue;
+    }
+    int64_t la = ctx.ctg_len[ca], lb = ctx.ctg_len[cb];
+    // first/last k-mer equality via precomputed sequence signatures
+    if (ctx.head_sig == nullptr || ctx.head_sig[ca] == 0 ||
+        ctx.head_sig[cb] == 0 || ctx.head_sig[ca] != ctx.head_sig[cb] ||
+        ctx.tail_sig[ca] != ctx.tail_sig[cb]) {
+      out.emplace_back(cur, pcur);
+      cur = nxt;
+      pcur = pnxt;
+      continue;
+    }
+    bool keep_cur =
+        ctx.cvg[ca] > ctx.cvg[cb] || (ctx.cvg[ca] == ctx.cvg[cb] && la > lb);
+    int64_t keep_n = keep_cur ? cur : nxt;
+    int64_t lose_n = keep_cur ? nxt : cur;
+    int64_t keep_c = keep_cur ? ca : cb;
+    int64_t lose_c = keep_cur ? cb : ca;
+    if (!(ctx.bubble_flag[keep_c] && ctx.bubble_flag[lose_c])) {
+      ctx.bubble_flag[keep_c] = ctx.bubble_flag[keep_c ^ 1] = 1;
+      ctx.bubble_flag[lose_c] = ctx.bubble_flag[lose_c ^ 1] = 1;
+      ctx.snp_pairs[2 * ctx.n_snp] = keep_c;
+      ctx.snp_pairs[2 * ctx.n_snp + 1] = lose_c;
+      ctx.n_snp++;
+    }
+    transfer_links(ctx, lose_n, keep_n, ls);
+    ctx.mask[lose_c] = ctx.mask[lose_c ^ 1] = 1;
+    if (!keep_cur) {
+      cur = nxt;
+      pcur = pnxt;
+    }
+  }
+  out.emplace_back(cur, pcur);
+  return out;
+}
+
+// --- general_linearization (scaffold.py _general_linearization) -----------
+void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
+                           double overlap_tol, double confl_tol, bool snp,
+                           int64_t max_nodes = 32) {
+  struct Edge {
+    int64_t other;
+    double w;
+    int64_t g;
+  };
+  std::unordered_map<int64_t, std::vector<Edge>> outs, ins;
+  for (auto& kv : ls) {  // key-sorted: matches linkset insertion semantics
+    int64_t a = static_cast<int64_t>(kv.first >> 32);
+    int64_t b = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+    outs[a].push_back({b, kv.second.w, kv.second.g});
+    ins[b].push_back({a, kv.second.w, kv.second.g});
+  }
+  std::unordered_set<int64_t> consumed;
+  std::vector<int64_t> starts;
+  starts.reserve(outs.size());
+  for (auto& kv : outs) starts.push_back(kv.first);
+  std::sort(starts.begin(), starts.end());
+
+  for (int64_t a : starts) {
+    if (consumed.count(a)) continue;
+    auto oit = outs.find(a);
+    if (oit == outs.end() || oit->second.size() < 2) continue;
+    // relaxation DFS in both directions (queue.pop() == pop_back)
+    std::unordered_map<int64_t, int64_t> pos;
+    pos[a] = 0;
+    std::vector<int64_t> queue{a};
+    bool ok = true;
+    while (!queue.empty() && ok) {
+      int64_t cur = queue.back();
+      queue.pop_back();
+      auto down = outs.find(cur);
+      if (down != outs.end()) {
+        for (auto& e : down->second) {
+          int64_t p = pos[cur] + ctx.chain_len_of(cur) + e.g;
+          auto pit = pos.find(e.other);
+          if (pit != pos.end()) {
+            if (std::llabs(pit->second - p) >
+                3 * ins_var + 0.1 * std::llabs(p)) {
+              ok = false;
+              break;
+            }
+          } else {
+            if (static_cast<int64_t>(pos.size()) >= max_nodes) {
+              ok = false;
+              break;
+            }
+            pos[e.other] = p;
+            queue.push_back(e.other);
+          }
+        }
+      }
+      if (!ok) break;
+      auto up = ins.find(cur);
+      if (up != ins.end()) {
+        for (auto& e : up->second) {
+          int64_t p = pos[cur] - e.g - ctx.chain_len_of(e.other);
+          auto pit = pos.find(e.other);
+          if (pit != pos.end()) {
+            if (std::llabs(pit->second - p) >
+                3 * ins_var + 0.1 * std::llabs(p)) {
+              ok = false;
+              break;
+            }
+          } else {
+            if (static_cast<int64_t>(pos.size()) >= max_nodes) {
+              ok = false;
+              break;
+            }
+            pos[e.other] = p;
+            queue.push_back(e.other);
+          }
+        }
+      }
+    }
+    if (!ok || pos.size() < 3) continue;
+    // checkEligible: no member together with its reverse complement
+    bool eligible = true;
+    for (auto& kv : pos)
+      if (pos.count(kv.first ^ 1)) {
+        eligible = false;
+        break;
+      }
+    if (!eligible) continue;
+    std::vector<std::pair<int64_t, int64_t>> order;  // (node, pos)
+    order.reserve(pos.size());
+    for (auto& kv : pos) order.emplace_back(kv.first, kv.second);
+    std::sort(order.begin(), order.end(),
+              [](const std::pair<int64_t, int64_t>& x,
+                 const std::pair<int64_t, int64_t>& y) {
+                if (x.second != y.second) return x.second < y.second;
+                return x.first < y.first;
+              });
+    if (snp && order.size() >= 2) order = remove_bubble_ctg(ctx, order, ls);
+    // checkOverlapInBetween_general
+    ok = true;
+    for (size_t i = 0; i + 1 < order.size(); ++i) {
+      int64_t x = order[i].first, px = order[i].second;
+      int64_t y = order[i + 1].first, py = order[i + 1].second;
+      int64_t overlap = px + ctx.chain_len_of(x) - py;
+      double lim = std::max(
+          overlap_tol * static_cast<double>(
+                            std::min(ctx.chain_len_of(x), ctx.chain_len_of(y))),
+          static_cast<double>(ins_var));
+      if (static_cast<double>(overlap) > lim) {
+        ok = false;
+        break;
+      }
+    }
+    if (!ok) continue;
+    // checkConflictCnt_general
+    std::unordered_map<int64_t, int64_t> rank;
+    for (size_t i = 0; i < order.size(); ++i) rank[order[i].first] = i;
+    double confl = 0, total = 0;
+    for (auto& kv : ls) {
+      int64_t x = static_cast<int64_t>(kv.first >> 32);
+      int64_t y = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+      auto rx = rank.find(x), ry = rank.find(y);
+      if (rx != rank.end() && ry != rank.end()) {
+        total += kv.second.w;
+        if (ry->second <= rx->second) confl += kv.second.w;
+      }
+    }
+    if (total <= 0 || confl > confl_tol * total) continue;
+    // arrangeNodes_general: rewrite member links as the committed chain
+    std::unordered_set<int64_t> members, members_m;
+    for (auto& kv : pos) {
+      members.insert(kv.first);
+      members_m.insert(kv.first ^ 1);
+    }
+    std::unordered_map<uint64_t, double> support;
+    std::vector<uint64_t> hit;
+    for (auto& kv : ls) {
+      int64_t x = static_cast<int64_t>(kv.first >> 32);
+      int64_t y = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+      if ((members.count(x) && members.count(y)) ||
+          (members_m.count(x) && members_m.count(y)))
+        hit.push_back(kv.first);
+    }
+    for (uint64_t kp : hit) {
+      support[kp] = ls[kp].w;
+      ls.erase(kp);
+    }
+    for (size_t i = 0; i + 1 < order.size(); ++i) {
+      int64_t x = order[i].first, px = order[i].second;
+      int64_t y = order[i + 1].first, py = order[i + 1].second;
+      int64_t ggap = py - (px + ctx.chain_len_of(x));
+      auto sit = support.find(key2(x, y));
+      double wgt = sit != support.end() ? sit->second : 1.0;
+      ls[key2(x, y)] = {wgt, ggap};
+      ls[key2(y ^ 1, x ^ 1)] = {wgt, ggap};
+    }
+    for (int64_t mnode : members) {
+      consumed.insert(mnode);
+      consumed.insert(mnode ^ 1);
+    }
+    ctx.n_linearized++;
+  }
+}
+
+// --- maskPuzzle (scaffold.py _mask_puzzle) --------------------------------
+void mask_puzzle(Ctx& ctx, LinkSet& ls) {
+  std::unordered_map<int64_t, int64_t> outd, ind;
+  for (auto& kv : ls) {
+    outd[static_cast<int64_t>(kv.first >> 32)]++;
+    ind[static_cast<int64_t>(kv.first & 0xFFFFFFFFu)]++;
+  }
+  std::unordered_set<int64_t> masked_nodes;
+  std::set<int64_t> nodes;
+  for (auto& kv : outd) nodes.insert(kv.first);
+  for (auto& kv : ind) nodes.insert(kv.first);
+  for (int64_t node : nodes) {
+    int64_t od = outd.count(node) ? outd[node] : 0;
+    int64_t id = ind.count(node) ? ind[node] : 0;
+    if (od <= 1 && id <= 1) continue;
+    int64_t ch = node >> 1;
+    if (ctx.n_chain_ctgs(ch) != 1) continue;
+    int64_t c = ctx.chain_ctgs[ctx.chain_ptr[ch]];
+    if (!ctx.mask[c]) {
+      ctx.mask[c] = ctx.mask[c ^ 1] = 1;
+      masked_nodes.insert(node);
+      masked_nodes.insert(node ^ 1);
+      ctx.n_masked_puzzle++;
+    }
+  }
+  if (!masked_nodes.empty()) {
+    std::vector<uint64_t> del;
+    for (auto& kv : ls) {
+      int64_t x = static_cast<int64_t>(kv.first >> 32);
+      int64_t y = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+      if (masked_nodes.count(x) || masked_nodes.count(y))
+        del.push_back(kv.first);
+    }
+    for (uint64_t kp : del) ls.erase(kp);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One ordering rank.  Returns 0 on success.
+// out_counts: [n_chains_out, total_out_ctgs, n_snp, n_masked, n_linearized]
+int64_t scaff_ordering_rank(
+    int64_t n_dir, const int64_t* ctg_len, uint8_t* mask, const double* cvg,
+    uint8_t* bubble_flag, int64_t n_chains, const int64_t* chain_ptr,
+    const int64_t* chain_ctgs, const int64_t* chain_gaps, int64_t m,
+    const int64_t* lc1, const int64_t* lc2, const int64_t* lw,
+    const int64_t* lgap, int64_t pair_cutoff, int64_t insert_size,
+    int64_t last_rank, double cvg4snp, int64_t snp_enabled,
+    const uint64_t* head_sig, const uint64_t* tail_sig,
+    int64_t* out_chain_ptr, int64_t* out_ctgs, int64_t* out_gaps,
+    int64_t* out_snp_pairs, int64_t* out_counts) {
+  Ctx ctx;
+  ctx.n_dir = n_dir;
+  ctx.ctg_len = ctg_len;
+  ctx.mask = mask;
+  ctx.cvg = cvg;
+  ctx.bubble_flag = bubble_flag;
+  ctx.n_chains = n_chains;
+  ctx.chain_ptr = chain_ptr;
+  ctx.chain_ctgs = chain_ctgs;
+  ctx.chain_gaps = chain_gaps;
+  ctx.insert_size = insert_size;
+  ctx.cvg4snp = cvg4snp;
+  ctx.snp_enabled = static_cast<int>(snp_enabled);
+  ctx.head_sig = head_sig;
+  ctx.tail_sig = tail_sig;
+  ctx.snp_pairs = out_snp_pairs;
+  ctx.n_snp = 0;
+  ctx.n_masked_puzzle = 0;
+  ctx.n_linearized = 0;
+
+  // --- chain maps (scaffold.py _chain_maps) -------------------------------
+  std::vector<int64_t> cid(n_dir, -1), off(n_dir, 0), tail(n_dir, 0);
+  std::vector<uint8_t> flip(n_dir, 0);
+  ctx.chain_total.assign(n_chains, 0);
+  for (int64_t ch = 0; ch < n_chains; ++ch) {
+    int64_t b = chain_ptr[ch], e = chain_ptr[ch + 1];
+    int64_t gb = b - ch;  // gap array offset for this chain
+    int64_t total = 0;
+    for (int64_t j = b; j < e; ++j) total += ctg_len[chain_ctgs[j]];
+    for (int64_t j = b; j + 1 < e; ++j) total += gap_span(chain_gaps[gb + (j - b)]);
+    ctx.chain_total[ch] = total;
+    int64_t acc = 0;
+    for (int64_t j = b; j < e; ++j) {
+      int64_t c = chain_ctgs[j];
+      int64_t cl = ctg_len[c];
+      cid[c] = ch;
+      flip[c] = 0;
+      off[c] = acc;
+      tail[c] = total - acc - cl;
+      int64_t ct = c ^ 1;
+      cid[ct] = ch;
+      flip[ct] = 1;
+      off[ct] = total - acc - cl;
+      tail[ct] = acc;
+      acc += cl;
+      if (j + 1 < e) acc += gap_span(chain_gaps[gb + (j - b)]);
+    }
+  }
+
+  // --- filter + lift links to chain level, aggregate ----------------------
+  struct Lift {
+    uint64_t key;
+    int64_t w;
+    int64_t g;
+  };
+  std::vector<Lift> lifts;
+  lifts.reserve(m);
+  for (int64_t i = 0; i < m; ++i) {
+    if (lw[i] < pair_cutoff) continue;  // deleteWeakCnt
+    int64_t a = lc1[i], b = lc2[i];
+    if (mask[a] || mask[b]) continue;
+    int64_t ch1 = cid[a], ch2 = cid[b];
+    if (ch1 < 0 || ch2 < 0 || ch1 == ch2) continue;
+    int64_t A = ch1 * 2 + flip[a];
+    int64_t B = ch2 * 2 + flip[b];
+    int64_t g_adj = lgap[i] - tail[a] - off[b];
+    lifts.push_back({key2(A, B), lw[i], g_adj});
+  }
+  std::sort(lifts.begin(), lifts.end(),
+            [](const Lift& x, const Lift& y) { return x.key < y.key; });
+  LinkSet ls;
+  for (size_t i = 0; i < lifts.size();) {
+    size_t j = i;
+    double wsum = 0, gw = 0;
+    while (j < lifts.size() && lifts[j].key == lifts[i].key) {
+      wsum += static_cast<double>(lifts[j].w);
+      gw += static_cast<double>(lifts[j].g) * static_cast<double>(lifts[j].w);
+      ++j;
+    }
+    int64_t gavg = static_cast<int64_t>(gw / std::max(wsum, 1.0));
+    ls[lifts[i].key] = {wsum, gavg};
+    i = j;
+  }
+
+  // --- transitive reduction (removeTransitive, simplified) ----------------
+  {
+    std::unordered_map<int64_t, std::vector<int64_t>> out_links;
+    for (auto& kv : ls)
+      out_links[static_cast<int64_t>(kv.first >> 32)].push_back(
+          static_cast<int64_t>(kv.first & 0xFFFFFFFFu));
+    int64_t tol = std::max(insert_size / 5, static_cast<int64_t>(100));
+    std::set<uint64_t> drop;
+    for (auto& kv : out_links) {
+      int64_t a = kv.first;
+      auto& outsv = kv.second;
+      if (outsv.size() < 2) continue;
+      for (int64_t b : outsv) {
+        for (int64_t c : outsv) {
+          if (c == b) continue;
+          int64_t ab = ls[key2(a, b)].g;
+          auto bc = ls.find(key2(b, c));
+          if (bc != ls.end()) {
+            int64_t expect = ab + ctx.chain_len_of(b) + bc->second.g;
+            if (std::llabs(expect - ls[key2(a, c)].g) < tol)
+              drop.insert(key2(a, c));
+          }
+        }
+      }
+    }
+    for (uint64_t kp : drop) ls.erase(kp);
+  }
+
+  // --- linearization passes ------------------------------------------------
+  int64_t ins_var =
+      insert_size >= 1000 ? 50 : (insert_size >= 300 ? 30 : 20);
+  bool snp = snp_enabled && insert_size < 1000 && cvg4snp > 1e-3 &&
+             cvg != nullptr && head_sig != nullptr;
+  general_linearization(ctx, ls, ins_var, 0.05, 0.05, snp);
+  if (last_rank) general_linearization(ctx, ls, ins_var, 0.10, 0.10, snp);
+
+  mask_puzzle(ctx, ls);
+
+  // --- freezing: unique-successor merging ----------------------------------
+  std::unordered_map<int64_t, std::pair<int64_t, int64_t>> succ;  // a->(b,g)
+  std::unordered_map<int64_t, int64_t> pred_count, out_count;
+  std::unordered_map<int64_t, std::pair<int64_t, int64_t>> only_out;
+  for (auto& kv : ls) {
+    int64_t a = static_cast<int64_t>(kv.first >> 32);
+    int64_t b = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+    out_count[a]++;
+    only_out[a] = {b, kv.second.g};
+  }
+  for (auto& kv : out_count) {
+    if (kv.second == 1) {
+      auto& bg = only_out[kv.first];
+      succ[kv.first] = bg;
+      pred_count[bg.first]++;
+    }
+  }
+  std::unordered_map<int64_t, std::pair<int64_t, int64_t>> nxt;
+  std::unordered_set<int64_t> has_pred;
+  for (auto& kv : succ)
+    if (pred_count[kv.second.first] == 1) {
+      nxt[kv.first] = kv.second;
+      has_pred.insert(kv.second.first);
+    }
+
+  std::vector<uint8_t> used(n_chains, 0);
+  std::vector<int64_t> starts;
+  starts.reserve(nxt.size());
+  for (auto& kv : nxt) starts.push_back(kv.first);
+  std::sort(starts.begin(), starts.end());
+  for (int64_t i = 0; i < 2 * n_chains; ++i) starts.push_back(i);
+
+  int64_t n_out = 0, ctg_pos = 0, gap_pos = 0;
+  out_chain_ptr[0] = 0;
+  for (int64_t start : starts) {
+    int64_t ch = start >> 1;
+    if (used[ch]) continue;
+    if (has_pred.count(start)) continue;
+    // walk the unique-successor path
+    std::vector<int64_t> path{start};
+    std::vector<int64_t> gaps;
+    used[ch] = 1;
+    int64_t cur = start;
+    for (;;) {
+      auto it = nxt.find(cur);
+      if (it == nxt.end()) break;
+      int64_t b = it->second.first;
+      if (used[b >> 1]) break;
+      path.push_back(b);
+      gaps.push_back(it->second.second);
+      used[b >> 1] = 1;
+      cur = b;
+    }
+    // stitch (scaffold.py _stitch)
+    for (size_t idx = 0; idx < path.size(); ++idx) {
+      int64_t oc = path[idx];
+      int64_t c2 = oc >> 1, o = oc & 1;
+      int64_t b = chain_ptr[c2], e = chain_ptr[c2 + 1];
+      int64_t gb = b - c2;
+      if (idx > 0) out_gaps[gap_pos++] = gaps[idx - 1];
+      if (!o) {
+        for (int64_t j = b; j < e; ++j) out_ctgs[ctg_pos++] = chain_ctgs[j];
+        for (int64_t j = b; j + 1 < e; ++j)
+          out_gaps[gap_pos++] = chain_gaps[gb + (j - b)];
+      } else {
+        for (int64_t j = e - 1; j >= b; --j)
+          out_ctgs[ctg_pos++] = chain_ctgs[j] ^ 1;
+        for (int64_t j = e - 2; j >= b; --j)
+          out_gaps[gap_pos++] = chain_gaps[gb + (j - b)];
+      }
+    }
+    out_chain_ptr[++n_out] = ctg_pos;
+  }
+
+  out_counts[0] = n_out;
+  out_counts[1] = ctg_pos;
+  out_counts[2] = ctx.n_snp;
+  out_counts[3] = ctx.n_masked_puzzle;
+  out_counts[4] = ctx.n_linearized;
+  return 0;
+}
+
+}  // extern "C"
