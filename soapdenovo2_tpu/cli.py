@@ -35,7 +35,7 @@ def _common_pregraph_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-z", dest="genome_size", type=int, default=0,
                    help="genome size hint: pre-sizes the k-mer table "
                         "(avoids growth recompiles)")
-    p.add_argument("--batch", dest="batch_size", type=int, default=4096)
+    p.add_argument("--batch", dest="batch_size", type=int, default=16384)
 
 
 def _contig_args(p: argparse.ArgumentParser) -> None:
@@ -60,7 +60,7 @@ def _map_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-k", dest="map_kmer", type=int, default=0,
                    help="smaller k for mapping (default: assembly K)")
     p.add_argument("-p", dest="ncpu", type=int, default=8)
-    p.add_argument("--batch", dest="batch_size", type=int, default=2048)
+    p.add_argument("--batch", dest="batch_size", type=int, default=8192)
 
 
 def _scaff_args(p: argparse.ArgumentParser) -> None:
@@ -114,7 +114,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)
     sp.add_argument("-e", dest="edge_cov_cutoff", type=int, default=1)
     sp.add_argument("-p", dest="ncpu", type=int, default=8)
-    sp.add_argument("--batch", dest="batch_size", type=int, default=4096)
+    sp.add_argument("--batch", dest="batch_size", type=int, default=16384)
     fus = sub.add_parser(
         "fusion", help="scaffold external contigs (SOAPdenovo-fusion)"
     )
@@ -134,7 +134,7 @@ def build_parser() -> argparse.ArgumentParser:
     fus.add_argument("-F", dest="fill_gaps", action="store_true")
     fus.add_argument("-L", dest="min_ctg_len", type=int, default=0)
     fus.add_argument("-p", dest="ncpu", type=int, default=8)
-    fus.add_argument("--batch", dest="batch_size", type=int, default=2048)
+    fus.add_argument("--batch", dest="batch_size", type=int, default=8192)
     allp = sub.add_parser("all", help="full pipeline")
     _common_pregraph_args(allp)
     allp.add_argument("-M", dest="merge_level", type=int, default=1)

@@ -159,6 +159,20 @@ class ReadBatch:
     start_id: int  # global id of row 0
     n: int  # live rows (<= B)
 
+    def trimmed(self, lo: int = 256) -> "ReadBatch":
+        """Slice a partially filled batch down to the next power-of-two
+        row bucket >= n — partial batches (small libraries, stream tails)
+        would otherwise pay full-batch compute; the pow2 bucket keeps the
+        set of compiled shapes small."""
+        b = self.codes.shape[0]
+        rows = max(lo, 1 << max(self.n - 1, 1).bit_length())
+        if rows >= b:
+            return self
+        return ReadBatch(
+            codes=self.codes[:rows], lengths=self.lengths[:rows],
+            start_id=self.start_id, n=self.n,
+        )
+
 
 def encode_read(seq: bytes, out: np.ndarray) -> int:
     """Encode ASCII bytes into a code row; returns length (clipped)."""

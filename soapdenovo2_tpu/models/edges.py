@@ -23,14 +23,36 @@ longNode, node2edge.c:480-545) so the read->edge pass can see them.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import chains as chain_ops
 from ..ops import kmer as kops
 from ..ops import sortcount as sc
 from . import kmer_graph as kg
+
+
+def _pack_bits_dev(mask):
+    """(N,) bool -> (ceil(N/32),) uint32, little-bit order (device)."""
+    n = mask.shape[0]
+    pad = (-n) % 32
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    b = mask.reshape(-1, 32).astype(jnp.uint32)
+    return jnp.sum(b << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+                   dtype=jnp.uint32)
+
+
+def _unpack_bits_np(packed: np.ndarray, n: int) -> np.ndarray:
+    bits = (packed[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    return bits.reshape(-1)[:n].astype(bool)
+
+
+def _next_pow2(x: int, lo: int = 64) -> int:
+    return max(lo, 1 << (max(x, 1) - 1).bit_length())
 
 
 @dataclasses.dataclass
@@ -88,90 +110,181 @@ def _oriented_first_base(words, orient, k: int):
     return jnp.where(orient == 0, fb, 3 - lb).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _edges_phase1(g: kg.PreGraph, k: int):
+    """Device phase 1: refresh links, label chains, start/cycle masks.
+
+    Only BIT-PACKED masks leave the device (the tunnel moves ~20 MB/s, so
+    S-sized int downloads would dwarf the compute)."""
+    g = kg.refresh_links(g, k)
+    nxt_full, _ = kg.linear_next_states(g, k)
+    on_chain = jnp.repeat(g.linear & ~g.deleted, 2)
+    nxt = jnp.where(on_chain, nxt_full, -1)
+    labels = chain_ops.label_chains(on_chain, nxt)
+    covs = g.covs.astype(jnp.int32)
+    branch = (~g.deleted) & (~g.linear)
+    right_cov = covs[:, 4:8] > 0  # orient 0 exits
+    left_cov = covs[:, 0:4] > 0  # orient 1 exits via comp(base)
+    sm = jnp.stack(
+        [branch[:, None] & right_cov, branch[:, None] & left_cov[:, ::-1]],
+        axis=1,
+    )  # (C, 2, 4) — same layout as np.nonzero over (C, 2, 4)
+    start_packed = _pack_bits_dev(sm.reshape(-1))
+    cyc_packed = _pack_bits_dev(labels.is_cycle & labels.is_head)
+    # tail state of each chain head (twin pairing + terminal bases)
+    S = 2 * g.keys.shape[0]
+    sidx = jnp.arange(S, dtype=jnp.int32)
+    head_safe = jnp.maximum(labels.head, 0)
+    t_mask = labels.on_chain & (labels.rank == labels.length[head_safe] - 1)
+    tail_of_head = jnp.full((S,), -1, jnp.int32)
+    tail_of_head = tail_of_head.at[
+        jnp.where(t_mask, head_safe, S)
+    ].set(sidx, mode="drop")
+    return g, labels, tail_of_head, start_packed, cyc_packed
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _edges_phase2(g: kg.PreGraph, labels, tail_of_head, s_node, s_orient,
+                  s_base, valid, k: int):
+    """Device phase 2: per-start first hop + chain info (E-sized)."""
+    S = 2 * g.keys.shape[0]
+    sn = jnp.maximum(s_node, 0)
+    j, oj = kg.next_of(g, sn, s_orient, s_base.astype(jnp.uint32), k)
+    j = jnp.where(valid, j, -1)
+    js = jnp.maximum(j, 0)
+    first_state = j * 2 + oj
+    fs_safe = jnp.clip(first_state, 0, S - 1)
+    target_linear = g.linear[js] & ~g.deleted[js] & (j >= 0)
+    chain_start = target_linear & labels.on_chain[fs_safe]
+    chs = jnp.clip(jnp.where(chain_start, first_state, 0), 0, S - 1)
+    ch_len = jnp.where(chain_start, labels.length[chs], 0)
+    ch_attach = jnp.where(chain_start, labels.attach[chs], -1)
+    term_state = jnp.where(chain_start, ch_attach, first_state)
+    # previous-state (tail) info for twin pairing
+    tail_state = jnp.where(
+        chain_start, tail_of_head[chs], s_node * 2 + s_orient
+    )
+    ts = jnp.maximum(tail_state, 0)
+    pw = g.keys[ts >> 1]
+    pfirst = _oriented_first_base(pw, ts & 1, k).astype(jnp.int32)
+    # oriented first k-mer of the edge
+    fw = g.keys[sn]
+    fk_rc = kops.reverse_complement(fw, k)
+    first_kmer = jnp.where((s_orient == 1)[:, None], fk_rc, fw)
+    # oriented last base of the terminal state
+    tss = jnp.maximum(term_state, 0)
+    tw = g.keys[tss >> 1]
+    tbase = _oriented_last_base(tw, tss & 1, k)
+    return (j, first_state, chain_start, ch_len, term_state, pfirst,
+            first_kmer, tbase)
+
+
+@jax.jit
+def _edges_phase3(labels, chain_heads, edge_ids):
+    """Device phase 3: per-state (edge id, rank) annotations."""
+    S = labels.head.shape[0]
+    head_to_edge = jnp.full((S,), -1, jnp.int32)
+    head_to_edge = head_to_edge.at[
+        jnp.where(chain_heads >= 0, chain_heads, S)
+    ].set(edge_ids, mode="drop")
+    hsafe = jnp.maximum(labels.head, 0)
+    state_edge = jnp.where(labels.on_chain, head_to_edge[hsafe], -1)
+    state_rank = jnp.where(state_edge >= 0, labels.rank, 0)
+    return state_edge, state_rank
+
+
+@functools.partial(jax.jit, static_argnames=("k", "total_pad"))
+def _edges_phase4(g: kg.PreGraph, state_edge, state_rank, seq_off_dev,
+                  edge_cycle_dev, edge_len_dev, k: int, total_pad: int):
+    """Device phase 4: scatter interior bases into the ragged seq buffer
+    and segment-reduce the interior coverage sums."""
+    C = g.keys.shape[0]
+    lb = kops.last_base(g.keys).astype(jnp.int32)
+    fb = kops.first_base(g.keys, k).astype(jnp.int32)
+    bases_state = jnp.stack([lb, 3 - fb], axis=1).reshape(-1)  # (S,)
+    e_of = state_edge
+    ok = e_of >= 0
+    es = jnp.maximum(e_of, 0)
+    cyc = edge_cycle_dev[es]
+    elen = jnp.maximum(edge_len_dev[es], 1)
+    pos = jnp.where(cyc, (state_rank - 1) % elen, state_rank)
+    slot = jnp.where(ok, seq_off_dev[es] + pos, total_pad)
+    seq = jnp.full((total_pad + 1,), 255, jnp.uint8)
+    seq = seq.at[slot].set(bases_state.astype(jnp.uint8), mode="drop")
+    # interior coverage: sum of left covs per edge (make_edge:586)
+    covs = g.covs.astype(jnp.int32)
+    left_tot = jnp.repeat(covs[:, 0:4].sum(axis=1), 2)  # per state
+    E_pad = edge_cycle_dev.shape[0]
+    symbol = jax.ops.segment_sum(
+        jnp.where(ok, left_tot, 0), jnp.where(ok, es, E_pad),
+        num_segments=E_pad + 1,
+    )
+    return seq[:total_pad], symbol[:E_pad]
+
+
 def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     """Contract all linear chains into directed edges."""
-    g = kg.refresh_links(g, k)
-    labels, _ = kg.label_linear_chains(g, k)
-
     C = g.keys.shape[0]
     S = 2 * C
-    covs = np.asarray(g.covs, dtype=np.int64)
-    deleted = np.asarray(g.deleted)
-    linear = np.asarray(g.linear)
-    keys_np = np.asarray(g.keys)
-
-    head = np.asarray(labels.head)
-    rank = np.asarray(labels.rank)
-    length = np.asarray(labels.length)
-    attach = np.asarray(labels.attach)
-    is_cycle_state = np.asarray(labels.is_cycle)
-    is_head = np.asarray(labels.is_head)
-    on_chain = np.asarray(labels.on_chain)
+    g, labels, tail_of_head, start_packed, cyc_packed = _edges_phase1(g, k)
 
     # ------------------------------------------------------------------
     # enumerate starts: (branch node, orient, exit base) with side cov > 0
     # ------------------------------------------------------------------
-    branch = (~deleted) & (~linear)
-    right_cov = covs[:, 4:8] > 0  # orient 0 exits
-    left_cov = covs[:, 0:4] > 0  # orient 1 exits via comp(base)
-    start_mask = np.zeros((C, 2, 4), dtype=bool)
-    start_mask[:, 0, :] = branch[:, None] & right_cov
-    # orientation-1 exit with base b corresponds to left cov of comp(b)
-    start_mask[:, 1, :] = branch[:, None] & left_cov[:, ::-1]
-    s_node, s_orient, s_base = np.nonzero(start_mask)
-    s_node = s_node.astype(np.int32)
-    s_orient = s_orient.astype(np.int32)
-    s_base = s_base.astype(np.int32)
+    start_mask = _unpack_bits_np(np.asarray(start_packed), C * 8)
+    flat = np.nonzero(start_mask)[0].astype(np.int64)
+    s_node = (flat >> 3).astype(np.int32)
+    s_orient = ((flat >> 2) & 1).astype(np.int32)
+    s_base = (flat & 3).astype(np.int32)
     nstarts = s_node.shape[0]
 
-    # first hop of every start (device batch)
     if nstarts:
-        j, oj = kg.next_of(
-            g,
-            jnp.asarray(s_node),
-            jnp.asarray(s_orient),
-            jnp.asarray(s_base, dtype=jnp.uint32),
-            k,
+        e_pad = _next_pow2(nstarts)
+        pad = e_pad - nstarts
+        sn_p = np.concatenate([s_node, np.zeros((pad,), np.int32)])
+        so_p = np.concatenate([s_orient, np.zeros((pad,), np.int32)])
+        sb_p = np.concatenate([s_base, np.zeros((pad,), np.int32)])
+        vl_p = np.concatenate([np.ones((nstarts,), bool), np.zeros((pad,), bool)])
+        (j, first_state, chain_start, ch_len, term_state, pfirst,
+         first_kmer_d, tbase_d) = _edges_phase2(
+            g, labels, tail_of_head, jnp.asarray(sn_p), jnp.asarray(so_p),
+            jnp.asarray(sb_p), jnp.asarray(vl_p), k,
         )
-        j = np.asarray(j)
-        oj = np.asarray(oj)
+        j = np.asarray(j)[:nstarts]
+        first_state = np.asarray(first_state)[:nstarts]
+        chain_start = np.asarray(chain_start)[:nstarts]
+        ch_len = np.asarray(ch_len)[:nstarts]
+        term_state = np.asarray(term_state)[:nstarts]
+        pfirst_all = np.asarray(pfirst)[:nstarts]
+        first_kmer_all = np.asarray(first_kmer_d)[:nstarts]
+        tbase_all = np.asarray(tbase_d)[:nstarts]
     else:
         j = np.zeros((0,), np.int32)
-        oj = np.zeros((0,), np.int32)
-    ok = j >= 0
-    if not ok.all():
-        # should not happen after refresh_links; drop defensively
-        s_node, s_orient, s_base, j, oj = (
-            a[ok] for a in (s_node, s_orient, s_base, j, oj)
-        )
-        nstarts = s_node.shape[0]
-    first_state = j * 2 + oj
+        first_state = np.zeros((0,), np.int32)
+        chain_start = np.zeros((0,), bool)
+        ch_len = np.zeros((0,), np.int32)
+        term_state = np.zeros((0,), np.int32)
+        pfirst_all = np.zeros((0,), np.int32)
+        first_kmer_all = np.zeros((0, kops.num_words(k)), np.uint32)
+        tbase_all = np.zeros((0,), np.uint8)
 
-    target_linear = linear[j] & ~deleted[j]
-    # chain-entering starts: first hop is a chain head
-    chain_start = target_linear & on_chain[np.clip(first_state, 0, S - 1)]
-    direct = ~chain_start
-
-    ch_head = np.where(chain_start, first_state, -1)
-    ch_len = np.where(chain_start, length[np.clip(ch_head, 0, S - 1)], 0)
-    ch_attach = np.where(chain_start, attach[np.clip(ch_head, 0, S - 1)], -1)
-    # terminal state: attach for chains, first hop for direct edges
-    term_state = np.where(chain_start, ch_attach, first_state)
-    dangling = term_state < 0  # possible only if graph is inconsistent
-    if dangling.any():
-        keep = ~dangling
-        (s_node, s_orient, s_base, first_state, chain_start, ch_head, ch_len,
-         term_state) = (
+    keep = (j >= 0) & (term_state >= 0)  # defensive; true after refresh
+    if not keep.all():
+        (s_node, s_orient, s_base, first_state, chain_start, ch_len,
+         term_state, pfirst_all, first_kmer_all, tbase_all) = (
             a[keep]
             for a in (s_node, s_orient, s_base, first_state, chain_start,
-                      ch_head, ch_len, term_state)
+                      ch_len, term_state, pfirst_all, first_kmer_all,
+                      tbase_all)
         )
         nstarts = s_node.shape[0]
+    ch_head = np.where(chain_start, first_state, -1)
 
     # ------------------------------------------------------------------
     # cycles: two mirrored circular edges per isolated loop
     # ------------------------------------------------------------------
-    cyc_heads = np.nonzero(is_cycle_state & is_head)[0].astype(np.int32)
+    cyc_heads = np.nonzero(_unpack_bits_np(np.asarray(cyc_packed), S))[0]
+    cyc_heads = cyc_heads.astype(np.int32)
     ncyc = cyc_heads.shape[0]
 
     E = nstarts + ncyc
@@ -196,67 +309,65 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         edge_to[nstarts:] = cyc_heads >> 1
         edge_to_orient[nstarts:] = cyc_heads & 1
         edge_chain_head[nstarts:] = cyc_heads
-        edge_len[nstarts:] = length[cyc_heads]  # one base per member state
+        # one base per member state
+        edge_len[nstarts:] = np.asarray(
+            jnp.take(labels.length, jnp.asarray(cyc_heads))
+        )
         edge_cycle[nstarts:] = True
 
-    # map chain head -> edge id (each head is entered by exactly one start)
-    head_to_edge = np.full((S,), -1, np.int32)
-    hs = edge_chain_head >= 0
-    head_to_edge[edge_chain_head[hs]] = np.nonzero(hs)[0].astype(np.int32)
-
-    # per-state annotations (interior k-mers)
-    state_edge = np.full((S,), -1, np.int32)
-    state_rank = np.zeros((S,), np.int32)
-    chn = on_chain & (head_to_edge[np.clip(head, 0, S - 1)] >= 0)
-    state_edge[chn] = head_to_edge[head[chn]]
-    state_rank[chn] = rank[chn]
+    # per-state annotations (interior k-mers), on device — they stay there
+    # (the arc pass consumes them as device arrays); inputs pow2-padded so
+    # the kernels compile once per size bucket
+    e_pad2 = _next_pow2(E)
+    ch_pad = np.full((e_pad2,), -1, np.int32)
+    ch_pad[:E] = edge_chain_head
+    state_edge, state_rank = _edges_phase3(
+        labels, jnp.asarray(ch_pad), jnp.arange(e_pad2, dtype=jnp.int32),
+    )
 
     # ------------------------------------------------------------------
-    # sequence materialization
+    # sequence materialization (device scatter, one download of the bases)
     # ------------------------------------------------------------------
     seq_off = np.zeros((E + 1,), np.int64)
     np.cumsum(edge_len, out=seq_off[1:])
-    seq_bases = np.full((int(seq_off[-1]),), 255, np.uint8)
-
-    # contribution of every interior chain state: its oriented last base
-    sidx = np.nonzero(chn)[0].astype(np.int32)
-    if sidx.size:
-        words = jnp.asarray(keys_np[sidx >> 1])
-        orient = jnp.asarray((sidx & 1).astype(np.int32))
-        bases = np.asarray(_oriented_last_base(words, orient, k))
-        e_of = state_edge[sidx]
-        # cycles: rank 0 state is the from-kmer itself, its base goes LAST
-        cyc_of = edge_cycle[e_of]
-        pos = np.where(
-            cyc_of,
-            (state_rank[sidx] - 1) % np.maximum(edge_len[e_of], 1),
-            state_rank[sidx],
-        )
-        seq_bases[seq_off[e_of] + pos] = bases
+    total = int(seq_off[-1])
+    total_pad = _next_pow2(total)
+    seq_off_dev = jnp.asarray(
+        np.concatenate([seq_off[:E], np.zeros((e_pad2 - E,), np.int64)]
+                       ).astype(np.int32)
+    )
+    seq_d, symbol_d = _edges_phase4(
+        g, state_edge, state_rank, seq_off_dev,
+        jnp.asarray(np.concatenate([edge_cycle,
+                                    np.zeros((e_pad2 - E,), bool)])),
+        jnp.asarray(np.concatenate([edge_len,
+                                    np.zeros((e_pad2 - E,), np.int64)]
+                                   ).astype(np.int32)),
+        k, total_pad,
+    )
+    seq_bases = np.asarray(seq_d)[:total].copy()
+    symbol = np.asarray(symbol_d)[:E].astype(np.int64)
 
     # terminal base of non-cycle edges: oriented last base of the to-state
     noncyc = np.nonzero(~edge_cycle)[0]
     if noncyc.size:
-        words = jnp.asarray(keys_np[edge_to[noncyc]])
-        orient = jnp.asarray(edge_to_orient[noncyc].astype(np.int32))
-        tbases = np.asarray(_oriented_last_base(words, orient, k))
-        seq_bases[seq_off[noncyc] + edge_len[noncyc] - 1] = tbases
+        seq_bases[seq_off[noncyc] + edge_len[noncyc] - 1] = tbase_all[noncyc]
 
-    # oriented first k-mers
-    fwords = jnp.asarray(keys_np[edge_from])
-    forient = jnp.asarray(edge_from_orient.astype(np.int32))
-    fk = kops.reverse_complement(fwords, k)
-    first_kmer = np.asarray(
-        jnp.where((forient == 1)[:, None], fk, fwords), dtype=np.uint32
-    )
+    # oriented first k-mers (starts came from phase 2; cycles gathered here)
+    first_kmer = np.zeros((E, kops.num_words(k)), np.uint32)
+    first_kmer[:nstarts] = first_kmer_all
+    if ncyc:
+        cw = jnp.asarray(cyc_heads >> 1)
+        co = jnp.asarray((cyc_heads & 1).astype(np.int32))
+        fw = jnp.take(g.keys, cw, axis=0)
+        fk = kops.reverse_complement(fw, k)
+        first_kmer[nstarts:] = np.asarray(
+            jnp.where((co == 1)[:, None], fk, fw)
+        )
 
     # ------------------------------------------------------------------
     # coverage: 10 * sum(interior left covs) / n_interior (make_edge:586)
     # ------------------------------------------------------------------
-    left_tot = covs[:, 0:4].sum(axis=1)
-    symbol = np.zeros((E,), np.int64)
-    if sidx.size:
-        np.add.at(symbol, state_edge[sidx], left_tot[sidx >> 1])
     n_interior = np.where(edge_cycle, edge_len, edge_len - 1)
     cvg10 = np.zeros((E,), np.int32)
     nz = n_interior > 0
@@ -266,34 +377,26 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     # twin pairing
     # ------------------------------------------------------------------
     # start triple of the twin: (to_node, flip(to_orient), comp(first base of
-    # the last k-mer before the to-node, oriented))
+    # the last k-mer before the to-node, oriented)); pfirst came from the
+    # device phase (tail state resolved there via tail_of_head)
     twin = np.full((E,), -1, np.int32)
     if nstarts:
-        # previous state: chain tail if chain else the from-state
-        tail_state = np.full((nstarts,), -1, np.int32)
-        cs = np.nonzero(chain_start)[0]
-        if cs.size:
-            # tail of a chain: state with rank == len-1; recover via scatter
-            tail_of_head = np.full((S,), -1, np.int32)
-            t_mask = on_chain & (rank == length[np.clip(head, 0, S - 1)] - 1)
-            tail_of_head[head[t_mask]] = np.nonzero(t_mask)[0].astype(np.int32)
-            tail_state[cs] = tail_of_head[edge_chain_head[cs]]
-        ds = np.nonzero(~chain_start[:nstarts])[0]
-        tail_state[ds] = s_node[ds] * 2 + s_orient[ds]
-
-        pw = jnp.asarray(keys_np[tail_state >> 1])
-        po = jnp.asarray((tail_state & 1).astype(np.int32))
-        pfirst = np.asarray(_oriented_first_base(pw, po, k)).astype(np.int32)
-        tb = 3 - pfirst  # comp
+        tb = 3 - pfirst_all  # comp
         tnode = edge_to[:nstarts]
         torient = 1 - edge_to_orient[:nstarts].astype(np.int32)
         start_id = np.full((C, 2, 4), -1, np.int32)
         start_id[s_node, s_orient, s_base] = np.arange(nstarts, dtype=np.int32)
         twin[:nstarts] = start_id[tnode, torient, tb]
     if ncyc:
-        # mirrored cycle: head of the flipped state's chain
-        mirror_head = head[cyc_heads ^ 1]
-        twin[nstarts:] = head_to_edge[np.clip(mirror_head, 0, S - 1)]
+        # mirrored cycle: head of the flipped state's chain (edge ids of
+        # cycle heads are their position after the starts)
+        mirror_head = np.asarray(
+            jnp.take(labels.head, jnp.asarray(cyc_heads ^ 1))
+        )
+        h2e = {int(h): nstarts + i for i, h in enumerate(cyc_heads)}
+        twin[nstarts:] = np.array(
+            [h2e.get(int(h), -1) for h in mirror_head], np.int32
+        )
 
     # ------------------------------------------------------------------
     # (k+1)-mer patch for length-1 edges

@@ -260,17 +260,16 @@ def _clip_tips_once(g: PreGraph, k: int, thin: bool):
         ok = clippable & (whole | (link_cov < side_max))
 
     # --- apply ---
-    # delete tip start nodes
-    del_node = jnp.zeros((c,), bool).at[jnp.where(ok, idx, c)].set(True, mode="drop")
+    # delete tip start nodes (ok is already indexed by node id)
+    del_node = ok
     # delete chain interior nodes of clipped tips
     clipped_head = jnp.zeros((2 * c,), bool)
     clipped_head = clipped_head.at[
         jnp.where(ok & on_chain, head_safe, 2 * c)
     ].set(True, mode="drop")
     member_clipped = labels.on_chain & clipped_head[jnp.maximum(labels.head, 0)]
-    del_node = del_node | jax.ops.segment_max(
-        member_clipped.astype(jnp.int32), sidx >> 1, num_segments=c
-    ).astype(bool)
+    # a node dies when either of its two states is a clipped chain member
+    del_node = del_node | member_clipped.reshape(c, 2).any(axis=1)
     # out_node handling: delete it too when it had no other link; else
     # dislink the tip's cov entry and refresh its linear flag.
     del_out = jnp.zeros((c,), bool).at[
@@ -292,24 +291,44 @@ def _clip_tips_once(g: PreGraph, k: int, thin: bool):
     return g2, n_clipped
 
 
-def remove_single_tips(g: PreGraph, k: int) -> Tuple[PreGraph, int]:
-    """Frequency-one tip removal (removeSingleTips, cutTipPreGraph.c:363)."""
+def remove_single_tips(g: PreGraph, k: int) -> Tuple[PreGraph, jax.Array]:
+    """Frequency-one tip removal (removeSingleTips, cutTipPreGraph.c:363).
+
+    Returns (g, n_clipped) with n_clipped a DEVICE scalar — a readback
+    over the tunnel costs seconds, so callers fetch counts lazily."""
     g = mark_linear(g)
     g, n = _clip_tips_once(g, k, thin=True)
-    return g, int(n)
+    return g, n
 
 
-def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100) -> Tuple[PreGraph, int]:
-    """Minority-link tip removal to fixpoint (removeMinorTips:414)."""
-    g = mark_linear(g)
-    total = 0
-    for _ in range(max_rounds):
-        g, n = _clip_tips_once(g, k, thin=False)
-        n = int(n)
-        total += n
-        if n == 0:
-            break
+@functools.partial(jax.jit, static_argnames=("k", "max_rounds"))
+def _minor_tips_fixpoint(g: PreGraph, k: int, max_rounds: int):
+    """Iterate minority-tip clipping to fixpoint ON DEVICE: the reference
+    loops until no tip moves (removeMinorTips:414); a host-controlled loop
+    would pay one device->host sync per round."""
+
+    def cond(state):
+        _, total, n_last, rounds = state
+        return (n_last > 0) & (rounds < max_rounds)
+
+    def body(state):
+        g, total, _, rounds = state
+        g2, n = _clip_tips_once(g, k, thin=False)
+        return g2, total + n, n, rounds + 1
+
+    g, total, _, _ = jax.lax.while_loop(
+        cond, body, (g, jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32),
+                     jnp.zeros((), jnp.int32))
+    )
     return g, total
+
+
+def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100
+                      ) -> Tuple[PreGraph, jax.Array]:
+    """Minority-link tip removal to fixpoint (removeMinorTips:414).
+    Returns (g, total_clipped) with the count left on device."""
+    g = mark_linear(g)
+    return _minor_tips_fixpoint(g, k, max_rounds)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

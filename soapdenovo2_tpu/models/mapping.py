@@ -263,6 +263,7 @@ def map_reads(
     # (the reference's AIO double buffering, prlRead2Ctg.c batch loop)
     in_flight = None
     for batch in batch_iter:
+        batch = batch.trimmed()
         dev = _map_batch(
             jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
             keys, cid, pos_a, flip, clen,
@@ -288,7 +289,7 @@ def map_reads(
 
 
 def run_map(cfg, contig_seqs: List[str], k: int,
-            batch_size: int = 2048, progress: bool = True) -> MapResult:
+            batch_size: int = 8192, progress: bool = True) -> MapResult:
     """map.c call_align:96 — index contigs, stream scaffolding libraries
     in ascending-insert order, record per-library read-id gradations."""
     index = build_contig_index(contig_seqs, k)

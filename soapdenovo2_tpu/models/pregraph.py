@@ -57,6 +57,8 @@ def count_reads_to_table(
     capacity = init_capacity
     n_reads = 0
     pending: list = []
+    pending_rows = 0  # upper bound on pending live rows (static shapes)
+    n_bound = 0  # upper bound on table live entries — NO device readback
     FLUSH_N = 32  # constant merge fan-in => one XLA shape per capacity
 
     @jax.jit
@@ -74,7 +76,7 @@ def count_reads_to_table(
                               compact=False)
 
     def flush():
-        nonlocal table, capacity, pending
+        nonlocal table, capacity, pending, pending_rows, n_bound
         if not pending:
             return
         # pad to the constant fan-in with empty same-shape tables so the
@@ -82,34 +84,52 @@ def count_reads_to_table(
         batch_cap = pending[0].keys.shape[0]
         while len(pending) < FLUSH_N:
             pending.append(sc.empty_table(batch_cap, k))
-        need = int(table.n) + sum(int(bt.n) for bt in pending)
-        if need > capacity:
-            capacity = _next_pow2(need * 2)
-            grown = sc.empty_table(capacity, k)
-            grown = grown._replace(
-                keys=grown.keys.at[: table.keys.shape[0]].set(table.keys),
-                covs=grown.covs.at[: table.covs.shape[0]].set(table.covs),
-                n=table.n,
-            )
-            table = grown
-        table = sc.merge_many(tuple([table] + pending), capacity)
+        # growth check on a HOST-side upper bound (device readbacks cost
+        # seconds over the tunnel).  Raw pending rows hugely overcount
+        # unique keys, so when the bound trips, first collapse the pending
+        # batches ALONE (capacity == row count: truncation-free and
+        # exact), then read the true counts once and grow only if needed.
+        if n_bound + pending_rows > capacity:
+            l1 = sc.merge_many(tuple(pending), pending_rows)
+            tn, ln = (int(v) for v in np.asarray(
+                jnp.stack([table.n, l1.n])
+            ))  # ONE stacked readback
+            if tn + ln > capacity:
+                capacity = _next_pow2((tn + ln) * 2)
+                grown = sc.empty_table(capacity, k)
+                grown = grown._replace(
+                    keys=grown.keys.at[: table.keys.shape[0]].set(table.keys),
+                    covs=grown.covs.at[: table.covs.shape[0]].set(table.covs),
+                    n=table.n,
+                )
+                table = grown
+            table = sc.merge_many((table, l1), capacity)
+            n_bound = tn + ln
+        else:
+            table = sc.merge_many(tuple([table] + pending), capacity)
+            n_bound += pending_rows
         pending = []
+        pending_rows = 0
 
     in_flight = None  # (device codes, device lengths, n)
     for batch in batches:
+        batch = batch.trimmed()
         dev = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths), batch.n)
         if in_flight is not None:
             codes_d, lengths_d, n = in_flight
             n_reads += n
             bt = batch_table(codes_d, lengths_d)
             pending.append(bt)
+            pending_rows += bt.keys.shape[0]
             if len(pending) >= FLUSH_N:
                 flush()
         in_flight = dev
     if in_flight is not None:
         codes_d, lengths_d, n = in_flight
         n_reads += n
-        pending.append(batch_table(codes_d, lengths_d))
+        bt = batch_table(codes_d, lengths_d)
+        pending.append(bt)
+        pending_rows += bt.keys.shape[0]
     flush()
     return table, n_reads
 
@@ -303,25 +323,40 @@ def build_arcs(
     marker = np.zeros((eg.n_edges,), np.int32)
     paths: Optional[List[np.ndarray]] = [] if record_paths else None
     pending: list = []
+    pending_rows = 0
+    n_bound = 0  # host-side upper bound on live arcs (readback-free)
     FLUSH_N = 32  # constant merge fan-in => one XLA shape per capacity
 
     def flush():
-        nonlocal arcs, capacity, pending
+        nonlocal arcs, capacity, pending, pending_rows, n_bound
         if not pending:
             return
         batch_cap = pending[0].keys.shape[0]
         while len(pending) < FLUSH_N:
             pending.append(ArcAccumulator.empty(batch_cap))
-        need = int(arcs.n) + sum(int(bt.n) for bt in pending)
-        while need > capacity:
-            capacity *= 2
-        arcs = arcs.grow_to(capacity)
-        arcs = _merge_arcs_many(tuple([arcs] + pending), capacity)
+        if n_bound + pending_rows > capacity:
+            # collapse pending alone (exact), then one stacked readback
+            l1 = _merge_arcs_many(tuple(pending), pending_rows)
+            an, ln = (int(v) for v in np.asarray(
+                jnp.stack([arcs.n, l1.n])
+            ))
+            while an + ln > capacity:
+                capacity *= 2
+            arcs = arcs.grow_to(capacity)
+            arcs = _merge_arcs_many((arcs, l1), capacity)
+            n_bound = an + ln
+        else:
+            arcs = arcs.grow_to(capacity)
+            arcs = _merge_arcs_many(tuple([arcs] + pending), capacity)
+            n_bound += pending_rows
         pending = []
+        pending_rows = 0
 
     def consume(prev, hit, is_arc, hits2d, n_rows):
-        nonlocal pending
-        pending.append(_arc_batch_table(prev, hit, is_arc))
+        nonlocal pending, pending_rows
+        bt = _arc_batch_table(prev, hit, is_arc)
+        pending.append(bt)
+        pending_rows += bt.keys.shape[0]
         if len(pending) >= FLUSH_N:
             flush()
         if record_paths:
@@ -334,6 +369,7 @@ def build_arcs(
 
     in_flight = None  # ship next batch to device before consuming current
     for batch in batches:
+        batch = batch.trimmed()
         dev = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths), batch.n)
         if in_flight is not None:
             codes_d, lengths_d, n = in_flight
@@ -385,7 +421,7 @@ def run_pregraph(
     k: int,
     d_cutoff: int = 0,
     record_paths: bool = False,
-    batch_size: int = 4096,
+    batch_size: int = 16384,
     genome_size: int = 0,
     progress: bool = True,
 ) -> PregraphResult:
@@ -421,7 +457,10 @@ def run_pregraph(
     g, n_single = kg.remove_single_tips(g, k)
     g, n_minor = kg.remove_minor_tips(g, k)
     if progress:
-        log.info("tips: %d single, %d minor removed", n_single, n_minor)
+        # one combined readback — every device->host sync costs seconds
+        # over the remote-device tunnel
+        ns, nm = np.asarray(jnp.stack([n_single, n_minor]))
+        log.info("tips: %d single, %d minor removed", int(ns), int(nm))
 
     eg = edge_mod.build_edges(g, k)
     if progress:

@@ -13,11 +13,20 @@ Works on a **state graph**: every graph node i yields two states
 own reverse complement, so orientation is unambiguous.  A maximal linear
 chain appears as two mirrored state-chains, which is exactly how the
 reference emits an edge and its twin.
+
+Perf notes (TPU): random gathers dominate, so each doubling step gathers
+ONE (S, 2) row array (pointer + carried value packed side by side)
+instead of two (S,) arrays — half the random accesses.  The cycle-
+detection pass is skipped entirely when the rank pass proves every state
+reached a natural head (the overwhelmingly common case), at the cost of
+one scalar device sync.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,19 +52,23 @@ def _doubling_steps(s: int) -> int:
     return max(1, (max(s, 2) - 1).bit_length()) + 1
 
 
-def label_chains(on_chain_state, nxt) -> ChainLabels:
-    """Label all maximal chains of the state graph.
+def _jump(ptr, val, steps: int, reduce):
+    """Pointer doubling carrying one value; ONE packed gather per step."""
+    packed = jnp.stack([ptr, val], axis=1)  # (S, 2)
 
-    Args:
-      on_chain_state: (S,) bool — states that belong to chainable nodes
-        (e.g. ``linear & ~deleted`` expanded to both orientations).
-      nxt: (S,) int32 — successor state of each chainable state, or -1.
-        Must be flip-symmetric: nxt[s^1] mirrors the predecessor of s.
+    def body(_, pk):
+        tgt = pk[pk[:, 0]]  # single (S, 2) row gather
+        return jnp.stack([tgt[:, 0], reduce(pk[:, 1], tgt[:, 1])], axis=1)
 
-    Cycles (isolated circular chains) get an artificial head at their
-    minimum state id, mirroring nothing in the reference (it handles loops
-    ad hoc in make_edge) but giving deterministic circular-contig output.
-    """
+    packed = jax.lax.fori_loop(0, steps, body, packed)
+    return packed[:, 0], packed[:, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("with_cycles",))
+def _label_core(on_chain_state, nxt, with_cycles: bool):
+    """Rank pass (+ optional cycle pass).  Returns labels plus the mask of
+    states that failed to reach a natural head (non-empty => cycles exist
+    and the caller must re-run with with_cycles=True)."""
     S = nxt.shape[0]
     steps = _doubling_steps(S)
     sidx = jnp.arange(S, dtype=jnp.int32)
@@ -70,38 +83,30 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
 
     natural_head = on_chain_state & ~prv_on
 
-    # --- pass A: find cycles (states that never reach a natural head) and
-    # their minimum state id.
-    ptr = jnp.where(natural_head | ~on_chain_state, sidx, jnp.where(prv_on, prv, sidx))
-    mn = sidx
+    if with_cycles:
+        # pass A: cycle members never reach a natural head; cut each cycle
+        # at its minimum state id
+        ptr = jnp.where(
+            natural_head | ~on_chain_state, sidx, jnp.where(prv_on, prv, sidx)
+        )
+        ptr, mn = _jump(ptr, sidx, steps, jnp.minimum)
+        reached = natural_head[ptr]
+        is_cycle = on_chain_state & ~reached
+        art_head = is_cycle & (sidx == mn)
+        is_head = natural_head | art_head
+    else:
+        is_cycle = jnp.zeros((S,), bool)
+        is_head = natural_head
 
-    def body_a(_, st):
-        ptr, mn = st
-        mn = jnp.minimum(mn, mn[ptr])
-        ptr = ptr[ptr]
-        return ptr, mn
-
-    ptr, mn = jax.lax.fori_loop(0, steps, body_a, (ptr, mn))
-    reached_head = natural_head[ptr]
-    is_cycle = on_chain_state & ~reached_head
-    art_head = is_cycle & (sidx == mn)
-
-    # --- pass B: rank/label with heads (natural + artificial) cut.
-    is_head = natural_head | art_head
-    ptr = jnp.where(is_head | ~on_chain_state, sidx, jnp.where(prv_on, prv, sidx))
-    # artificial heads must not follow their prv (cut the cycle there)
-    rank = jnp.where(on_chain_state & ~is_head, 1, 0).astype(jnp.int32)
-
-    def body_b(_, st):
-        ptr, rank = st
-        rank = rank + rank[ptr]
-        ptr = ptr[ptr]
-        return ptr, rank
-
-    ptr, rank = jax.lax.fori_loop(0, steps, body_b, (ptr, rank))
+    # pass B: rank by jumping to the head
+    ptr = jnp.where(
+        is_head | ~on_chain_state, sidx, jnp.where(prv_on, prv, sidx)
+    )
+    rank0 = jnp.where(on_chain_state & ~is_head, 1, 0).astype(jnp.int32)
+    ptr, rank = _jump(ptr, rank0, steps, jnp.add)
+    unreached = on_chain_state & ~is_head[ptr]  # empty unless cycles exist
     head = jnp.where(on_chain_state, ptr, -1)
 
-    # chain length at head = number of member states
     length = jax.ops.segment_sum(
         on_chain_state.astype(jnp.int32),
         jnp.where(on_chain_state, head, S - 1),
@@ -113,11 +118,10 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
     is_tail = on_chain_state & ~nxt_on
     attach = jnp.full((S,), -1, jnp.int32)
     attach = attach.at[jnp.where(is_tail, head, S)].set(nxt, mode="drop")
-    # cycles have no tail; their attach stays -1
     attach = jnp.where(is_head, attach, -1)
     attach = jnp.where(is_cycle & is_head, -1, attach)
 
-    return ChainLabels(
+    labels = ChainLabels(
         on_chain=on_chain_state,
         head=head,
         rank=jnp.where(on_chain_state, rank, 0),
@@ -125,4 +129,30 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
         attach=attach,
         is_cycle=is_cycle,
         is_head=is_head,
+    )
+    return labels, jnp.any(unreached)
+
+
+def label_chains(on_chain_state, nxt) -> ChainLabels:
+    """Label all maximal chains of the state graph.
+
+    Args:
+      on_chain_state: (S,) bool — states that belong to chainable nodes
+        (e.g. ``linear & ~deleted`` expanded to both orientations).
+      nxt: (S,) int32 — successor state of each chainable state, or -1.
+        Must be flip-symmetric: nxt[s^1] mirrors the predecessor of s.
+
+    Cycles (isolated circular chains) get an artificial head at their
+    minimum state id, mirroring nothing in the reference (it handles loops
+    ad hoc in make_edge) but giving deterministic circular-contig output.
+    The cycle-cutting pass only runs when the optimistic rank pass proves
+    cycles exist (lax.cond; cycles are rare in real graphs, so the usual
+    cost is one doubling pass instead of two).
+    """
+    labels, has_cycles = _label_core(on_chain_state, nxt, with_cycles=False)
+    return jax.lax.cond(
+        has_cycles,
+        lambda _: _label_core(on_chain_state, nxt, with_cycles=True)[0],
+        lambda _: labels,
+        None,
     )
