@@ -4,9 +4,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "kmers/s", "vs_baseline": N/BASELINE}
 
 The measured kernel is the pregraph count step — canonical k-mer
-extraction + sort/segment-reduce counting over a read batch — i.e. the
-hot loop of the reference's prlRead2HashTable (prlHashReads.c:304),
-which BASELINE.json names as the headline metric.
+extraction + sorted-run LSM counting over read batches — i.e. the hot
+loop of the reference's prlRead2HashTable (prlHashReads.c:304), which
+BASELINE.json names as the headline metric.  The timed cycle is exactly
+one production flush (models/pregraph.py count_reads_to_table): 32 raw
+batch extractions, one 3-operand sort + segment-reduce over the 63M raw
+rows, the per-flush scalar readback, and the bitonic merge into the
+running 2^23-capacity table.
 
 Baseline: SOAPdenovo-63mer (reference, compiled -O3) pregraph hashing
 throughput measured on this host = 105,000,000 k-mers in 50 s
@@ -61,30 +65,36 @@ def main() -> None:
 
     @jax.jit
     def batch_step(codes, lengths):
-        # per-batch kernel of the streaming count pass: extract + RAW
-        # table (no sort; merge_many reduces once per FLUSH_N batches)
+        # per-batch kernel of the streaming count pass: extract ->
+        # 12-byte RawRows (no sort; the flush reduces once per FLUSH_N)
         out = kops.extract_kmers(codes, lengths, K)
         b, p, w = out["words"].shape
-        return sc.count_batch(
+        return sc.raw_rows(
             out["words"].reshape(b * p, w),
             out["valid"].reshape(b * p),
             out["left"].reshape(b * p),
             out["right"].reshape(b * p),
-            b * p,
-            compact=False,
         )
 
     def lsm_cycle(table):
-        # one full production cycle: FLUSH_N raw batches + one merge
+        # one full production flush, including the per-flush scalar
+        # readback of the reduced-run unique count (the growth check)
         pending = [batch_step(codes, lengths) for _ in range(FLUSH_N)]
-        return sc.merge_many(tuple([table] + pending), CAP)
+        l1 = sc.reduce_raws(tuple(pending), CAP)
+        ln = int(l1.n)  # production growth-protocol readback
+        assert ln <= CAP
+        return sc.merge_sorted_tables(table, l1, CAP)
 
     table = sc.empty_table(CAP, K)
     table = jax.block_until_ready(lsm_cycle(table))  # compile + warm table
+    # force one device->host readback: block_until_ready alone is not
+    # reliable on the tunneled backend until a first transfer completes
+    _ = np.asarray(table.keys[0, 0])
     t0 = time.time()
     for _ in range(ITERS):
         table = lsm_cycle(table)
     jax.block_until_ready(table)
+    _ = np.asarray(table.keys[0, 0])
     dt = (time.time() - t0) / ITERS
     kmers = FLUSH_N * B * (L - K + 1)
     value = kmers / dt

@@ -43,71 +43,59 @@ def count_reads_to_table(
 ) -> Tuple[sc.KmerTable, int]:
     """Stream read batches into a merged, sorted k-mer table.
 
-    Returns (table, n_reads).  Per batch: extract -> flatten -> local
-    sort/count.  Batch tables are held in a pending list and merged into
-    the running table only once their total size reaches the table size
-    (LSM-style deferred merging — amortized O(n log n) instead of the
-    O(n_batches * table) of merge-per-batch).  The NEXT batch is shipped
-    to the device before the current result is consumed, overlapping host
-    decode with device compute (the reference's AIO double-buffering
-    role, prlHashReads.c:762).
+    Returns (table, n_reads).  Per batch: extract -> 12-byte packed
+    RawRows (no sort).  Every FLUSH_N batches: ONE 3-operand sort +
+    segment-reduce collapses the raw rows to unique keys
+    (``reduce_raws``), then a log-stage bitonic merge folds them into the
+    running sorted table (``merge_sorted_tables``) — the table never
+    rides the full sort network.  The NEXT batch is shipped to the device
+    before the current result is consumed, overlapping host decode with
+    device compute (the reference's AIO double-buffering role,
+    prlHashReads.c:762).
+
+    Growth protocol: each flush reads back ONE scalar (the true unique
+    count of the reduced raws, ~25 ms on the remote tunnel) and grows the
+    running table's capacity by sentinel-append (sorted order is
+    preserved, so growth never re-merges).
     """
     kops.validate_k(k)
-    table = sc.empty_table(init_capacity, k)
     capacity = init_capacity
+    table = sc.empty_table(capacity, k)
     n_reads = 0
+    table_n = 0  # host-side upper bound on live table entries
     pending: list = []
-    pending_rows = 0  # upper bound on pending live rows (static shapes)
-    n_bound = 0  # upper bound on table live entries — NO device readback
-    FLUSH_N = 32  # constant merge fan-in => one XLA shape per capacity
+    pending_rows = 0
+    FLUSH_N = 32  # constant fan-in => one XLA shape per capacity
 
     @jax.jit
-    def batch_table(codes, lengths):
+    def batch_rows(codes, lengths):
         out = kops.extract_kmers(codes, lengths, k)
         b, p, w = out["words"].shape
-        words = out["words"].reshape(b * p, w)
-        valid = out["valid"].reshape(b * p)
-        left = out["left"].reshape(b * p)
-        right = out["right"].reshape(b * p)
-        # RAW batch tables (no per-batch sort or reduce): merge_many
-        # sorts and reduces everything once per FLUSH_N batches, and
-        # saturating addition makes the deferred reduction exact
-        return sc.count_batch(words, valid, left, right, b * p,
-                              compact=False)
+        return sc.raw_rows(
+            out["words"].reshape(b * p, w),
+            out["valid"].reshape(b * p),
+            out["left"].reshape(b * p),
+            out["right"].reshape(b * p),
+        )
 
     def flush():
-        nonlocal table, capacity, pending, pending_rows, n_bound
+        nonlocal table, capacity, pending, pending_rows, table_n
         if not pending:
             return
-        # pad to the constant fan-in with empty same-shape tables so the
-        # fused merge compiles once per table capacity
         batch_cap = pending[0].keys.shape[0]
         while len(pending) < FLUSH_N:
-            pending.append(sc.empty_table(batch_cap, k))
-        # growth check on a HOST-side upper bound (device readbacks cost
-        # seconds over the tunnel).  Raw pending rows hugely overcount
-        # unique keys, so when the bound trips, first collapse the pending
-        # batches ALONE (capacity == row count: truncation-free and
-        # exact), then read the true counts once and grow only if needed.
-        if n_bound + pending_rows > capacity:
-            l1 = sc.merge_many(tuple(pending), pending_rows)
-            tn, ln = (int(v) for v in np.asarray(
-                jnp.stack([table.n, l1.n])
-            ))  # ONE stacked readback
-            if tn + ln > capacity:
-                capacity = _next_pow2((tn + ln) * 2)
-                grown = sc.empty_table(capacity, k)
-                grown = grown._replace(
-                    keys=grown.keys.at[: table.keys.shape[0]].set(table.keys),
-                    covs=grown.covs.at[: table.covs.shape[0]].set(table.covs),
-                    n=table.n,
-                )
-                table = grown
-            table = sc.merge_many((table, l1), capacity)
-            n_bound = tn + ln
-        else:
-            table = sc.merge_many(tuple([table] + pending), capacity)
-            n_bound += pending_rows
+            pending.append(sc.empty_raw(batch_cap, k))
+        rcap = min(capacity, pending_rows)
+        l1 = sc.reduce_raws(tuple(pending), rcap)
+        ln = int(l1.n)  # ONE scalar readback per flush
+        if ln > rcap:  # truncated: redo at a truncation-free capacity
+            rcap = _next_pow2(ln)
+            l1 = sc.reduce_raws(tuple(pending), rcap)
+        if table_n + ln > capacity:
+            capacity = _next_pow2((table_n + ln) * 2)
+            table = sc.grow_table(table, capacity)
+        table = sc.merge_sorted_tables(table, l1, capacity)
+        table_n += ln
         pending = []
         pending_rows = 0
 
@@ -118,7 +106,7 @@ def count_reads_to_table(
         if in_flight is not None:
             codes_d, lengths_d, n = in_flight
             n_reads += n
-            bt = batch_table(codes_d, lengths_d)
+            bt = batch_rows(codes_d, lengths_d)
             pending.append(bt)
             pending_rows += bt.keys.shape[0]
             if len(pending) >= FLUSH_N:
@@ -127,7 +115,7 @@ def count_reads_to_table(
     if in_flight is not None:
         codes_d, lengths_d, n = in_flight
         n_reads += n
-        bt = batch_table(codes_d, lengths_d)
+        bt = batch_rows(codes_d, lengths_d)
         pending.append(bt)
         pending_rows += bt.keys.shape[0]
     flush()
@@ -185,36 +173,52 @@ class ArcAccumulator:
         )
 
     def add_pairs(self, from_e, to_e, valid) -> "ArcAccumulator":
-        batch = _arc_batch_table(from_e, to_e, valid)
-        return self.merge(batch)
-
-    def grow_to(self, cap: int) -> "ArcAccumulator":
-        if cap <= self.keys.shape[0]:
-            return self
-        grown = ArcAccumulator.empty(cap)
-        return dataclasses.replace(
-            grown,
-            keys=grown.keys.at[: self.keys.shape[0]].set(self.keys),
-            mult=grown.mult.at[: self.mult.shape[0]].set(self.mult),
-            n=self.n,
-        )
-
-    def merge(self, other: "ArcAccumulator") -> "ArcAccumulator":
-        need = int(self.n) + int(other.n)
+        batch = _raw_arc_rows(from_e, to_e, valid)
+        l1 = _reduce_raw_arcs((batch,), batch.keys.shape[0])
+        need = int(self.n) + int(l1.n)
         cap = self.keys.shape[0]
         while need > cap:
             cap *= 2
-        self = self.grow_to(cap)
-        return _merge_arcs_many((self, other), cap)
+        return _merge_sorted_arcs(self.grow_to(cap), l1, cap)
+
+    def grow_to(self, cap: int) -> "ArcAccumulator":
+        """Sentinel-append growth (sorted order is preserved)."""
+        c = self.keys.shape[0]
+        if cap <= c:
+            return self
+        return ArcAccumulator(
+            keys=jnp.concatenate(
+                [self.keys,
+                 jnp.full((cap - c, 2), 0xFFFFFFFF, jnp.uint32)]
+            ),
+            mult=jnp.concatenate(
+                [self.mult, jnp.zeros((cap - c,), jnp.int32)]
+            ),
+            n=self.n,
+        )
+
+
+class RawArcs:
+    """Unsorted (from, to) arc observations, 8 bytes each; one row = one
+    occurrence (multiplicity 1 implicit)."""
+
+    def __init__(self, keys, n):
+        self.keys = keys
+        self.n = n
+
+
+jax.tree_util.register_pytree_node(
+    RawArcs,
+    lambda r: ((r.keys, r.n), None),
+    lambda _, c: RawArcs(*c),
+)
 
 
 @jax.jit
-def _arc_batch_table(from_e, to_e, valid) -> ArcAccumulator:
-    """RAW per-batch arc table: no sort, duplicates uncollapsed, every
-    valid row live with mult 1.  Arc multiplicity addition is plain (not
-    saturating), so deferring ALL reduction to the LSM flush is exact and
-    the per-batch sort would be pure overhead (same argument as the raw
-    count-pass tables, sortcount.count_batch compact=False)."""
+def _raw_arc_rows(from_e, to_e, valid) -> RawArcs:
+    """RAW per-batch arc rows: no sort, no mult column — duplicates stay
+    uncollapsed until the flush (arc addition is exact under any merge
+    order, same argument as the raw count-pass rows)."""
     keys = jnp.stack(
         [
             jnp.where(valid, from_e, -1).astype(jnp.uint32),
@@ -222,22 +226,47 @@ def _arc_batch_table(from_e, to_e, valid) -> ArcAccumulator:
         ],
         axis=1,
     )
-    mult = valid.astype(jnp.int32)
-    return ArcAccumulator(
-        keys=keys, mult=mult, n=jnp.sum(valid.astype(jnp.int32))
+    return RawArcs(keys=keys, n=jnp.sum(valid.astype(jnp.int32)))
+
+
+def _empty_raw_arcs(n: int) -> RawArcs:
+    return RawArcs(
+        keys=jnp.full((n, 2), 0xFFFFFFFF, jnp.uint32),
+        n=jnp.zeros((), jnp.int32),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
-def _merge_arcs_many(tables, capacity: int) -> ArcAccumulator:
-    """Merge any number of arc tables in ONE sort + segment-reduce
-    (the LSM flush of the arc pass, mirroring sortcount.merge_many)."""
-    keys = jnp.concatenate([t.keys for t in tables], axis=0)
-    mult = jnp.concatenate([t.mult for t in tables], axis=0)
-    sk, perm = sc.argsort_kmers(keys)
-    mult = mult[perm]
-    # mult values are unbounded -> full-range (16-bit split) scan path
-    ukeys, sums, n_live = sc.reduce_sorted_groups(
+def _reduce_raw_arcs(raws, capacity: int) -> ArcAccumulator:
+    """ONE 2-operand sort + segment-reduce over raw arc rows (the flush
+    side of the arc pass; the running table merges separately)."""
+    keys = jnp.concatenate([r.keys for r in raws], axis=0)
+    out = jax.lax.sort((keys[:, 0], keys[:, 1]), num_keys=2)
+    sk = jnp.stack(out, axis=-1)
+    ones = (~sc._is_sentinel(sk)).astype(jnp.int32)
+    ukeys, sums, n_live = sc.reduce_sorted_groups_shift(
+        sk, ones[:, None], capacity, exact_max=1
+    )
+    return ArcAccumulator(keys=ukeys, mult=sums[:, 0], n=n_live)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _merge_sorted_arcs(a: ArcAccumulator, b: ArcAccumulator,
+                       capacity: int) -> ArcAccumulator:
+    """log-stage bitonic merge of two SORTED arc tables + reduce
+    (mirrors sortcount.merge_sorted_tables)."""
+    from ..ops import bitonic
+
+    ops = bitonic.merge_sorted_ops(
+        (a.keys[:, 0], a.keys[:, 1], a.mult.astype(jnp.uint32)),
+        (b.keys[:, 0], b.keys[:, 1], b.mult.astype(jnp.uint32)),
+        num_keys=2,
+    )
+    sk = jnp.stack(ops[:2], axis=-1)
+    mult = jnp.where(
+        sc._is_sentinel(sk), 0, ops[2].astype(jnp.int32)
+    )
+    ukeys, sums, n_live = sc.reduce_sorted_groups_shift(
         sk, mult[:, None], capacity, exact_max=None
     )
     return ArcAccumulator(keys=ukeys, mult=sums[:, 0], n=n_live)
@@ -333,28 +362,23 @@ def build_arcs(
             return
         batch_cap = pending[0].keys.shape[0]
         while len(pending) < FLUSH_N:
-            pending.append(ArcAccumulator.empty(batch_cap))
-        if n_bound + pending_rows > capacity:
-            # collapse pending alone (exact), then one stacked readback
-            l1 = _merge_arcs_many(tuple(pending), pending_rows)
-            an, ln = (int(v) for v in np.asarray(
-                jnp.stack([arcs.n, l1.n])
-            ))
-            while an + ln > capacity:
-                capacity *= 2
-            arcs = arcs.grow_to(capacity)
-            arcs = _merge_arcs_many((arcs, l1), capacity)
-            n_bound = an + ln
-        else:
-            arcs = arcs.grow_to(capacity)
-            arcs = _merge_arcs_many(tuple([arcs] + pending), capacity)
-            n_bound += pending_rows
+            pending.append(_empty_raw_arcs(batch_cap))
+        rcap = min(_next_pow2(capacity), _next_pow2(pending_rows))
+        l1 = _reduce_raw_arcs(tuple(pending), rcap)
+        ln = int(l1.n)  # ONE scalar readback per flush
+        if ln > rcap:  # truncated: redo at a truncation-free capacity
+            rcap = _next_pow2(ln)
+            l1 = _reduce_raw_arcs(tuple(pending), rcap)
+        if n_bound + ln > capacity:
+            capacity = _next_pow2((n_bound + ln) * 2)
+        arcs = _merge_sorted_arcs(arcs.grow_to(capacity), l1, capacity)
+        n_bound += ln
         pending = []
         pending_rows = 0
 
     def consume(prev, hit, is_arc, hits2d, n_rows):
         nonlocal pending, pending_rows
-        bt = _arc_batch_table(prev, hit, is_arc)
+        bt = _raw_arc_rows(prev, hit, is_arc)
         pending.append(bt)
         pending_rows += bt.keys.shape[0]
         if len(pending) >= FLUSH_N:
