@@ -122,6 +122,275 @@ def sharded_count_step(mesh: Mesh, k: int, bucket_cap: int):
     return jax.jit(fn)
 
 
+# ---------------------------------------------------------------------------
+# Streaming sharded counting: per-shard LSM tables under shard_map
+# ---------------------------------------------------------------------------
+
+
+def _bucket_rows(words, valid, flank, n_shards: int, cap: int):
+    """Bucket (key, packed-flank) rows by owner shard — gather-based, no
+    scatters (see ``_bucket_by_shard``).  Returns ((n_shards, cap, W) keys,
+    (n_shards, cap) flank, dropped count)."""
+    n, w = words.shape
+    shard = (kops.hash_words(words) % jnp.uint32(n_shards)).astype(jnp.int32)
+    shard = jnp.where(valid, shard, n_shards)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, perm = jax.lax.sort((shard, iota), num_keys=1, is_stable=True)
+    shard_s = shard[perm]
+    words_s = words[perm]
+    flank_s = flank[perm]
+    counts = jnp.bincount(shard_s, length=n_shards + 1)[:n_shards]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)]
+    )[:n_shards]
+    grid_s = jnp.repeat(jnp.arange(n_shards, dtype=jnp.int32), cap)
+    grid_r = jnp.tile(jnp.arange(cap, dtype=jnp.int32), n_shards)
+    filled = grid_r < counts[grid_s]
+    src = jnp.where(filled, offsets[grid_s] + grid_r, 0)
+    bw = jnp.where(filled[:, None], words_s[src], jnp.uint32(0xFFFFFFFF))
+    bf = jnp.where(filled, flank_s[src], jnp.uint32(0))
+    dropped = jnp.sum(jnp.maximum(counts - cap, 0))
+    return (
+        bw.reshape(n_shards, cap, w),
+        bf.reshape(n_shards, cap),
+        dropped,
+    )
+
+
+class ShardedCountStream:
+    """Streaming k-mer counting over a device mesh — the multi-chip form
+    of models/pregraph.py ``count_reads_to_table``.
+
+    Per read batch (sharded over devices): each device extracts canonical
+    k-mers from its slice, buckets them by ``hash(kmer) % n_shards``, and
+    an ``all_to_all`` over ICI routes every bucket to its owner (the
+    distributed analog of prlHashReads.c:83's ``hash % thrd_num`` insert
+    into the owner thread's private KmerSet).  Owned rows accumulate as
+    RAW (unsorted) blocks; every FLUSH_N batches each shard runs ONE
+    sort + segment-reduce over its raw rows and bitonic-merges the result
+    into its sorted sub-table — the same LSM flush as the single-chip
+    path, jitted per shard under shard_map.  Shard tables partition k-mer
+    space disjointly, so their union equals the single-device table
+    exactly and is shard-count invariant.
+    """
+
+    FLUSH_N = 32
+
+    def __init__(self, mesh: Mesh, k: int, batch_b: int, max_len: int,
+                 init_cap_per_shard: int = 1 << 16,
+                 bucket_cap: Optional[int] = None):
+        self.mesh = mesh
+        self.k = k
+        self.w = kops.num_words(k)
+        self.n_shards = mesh.devices.size
+        if batch_b % self.n_shards:
+            raise ValueError("batch size must divide the mesh")
+        per_dev_kmers = (batch_b // self.n_shards) * (max_len - k + 1)
+        if bucket_cap is None:
+            bucket_cap = max(
+                128, int(2.0 * per_dev_kmers / self.n_shards)
+            )
+        self.bucket_cap = bucket_cap
+        self.rows_per_flushblock = self.n_shards * bucket_cap  # per shard
+        self.capacity = init_cap_per_shard  # per shard
+        self.max_len = max_len
+        self._pending: list = []
+        self._table = None  # (keys, covs) sharded; lazy init
+        self._n_bound = 0  # host upper bound on per-shard live entries
+        self.n_reads = 0
+        self.dropped = 0
+        self._route = self._build_route()
+        self._sh2 = NamedSharding(mesh, P(AXIS, None))
+        self._sh1 = NamedSharding(mesh, P(AXIS))
+
+    # -- jitted programs ----------------------------------------------------
+
+    def _build_route(self):
+        n_shards, k, cap = self.n_shards, self.k, self.bucket_cap
+
+        def per_shard(codes, lengths):
+            out = kops.extract_kmers(codes, lengths, k)
+            b, p, w = out["words"].shape
+            words = out["words"].reshape(b * p, w)
+            valid = out["valid"].reshape(b * p)
+            flank = out["left"].reshape(b * p).astype(jnp.uint32) | (
+                out["right"].reshape(b * p).astype(jnp.uint32) << 3
+            )
+            bw, bf, dropped = _bucket_rows(words, valid, flank, n_shards, cap)
+            bw = jax.lax.all_to_all(bw, AXIS, 0, 0, tiled=True)
+            bf = jax.lax.all_to_all(bf, AXIS, 0, 0, tiled=True)
+            return (
+                bw.reshape(n_shards * cap, w),
+                bf.reshape(n_shards * cap),
+                dropped[None],
+            )
+
+        fn = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+        )
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=None)
+    def _reduce_fn(self, rcap: int, fan_in: int):
+        def per_shard(keys, flank):
+            raws = tuple(
+                sc.RawRows(keys[i], flank[i], jnp.zeros((), jnp.int32))
+                for i in range(fan_in)
+            )
+            t = sc.reduce_raws(raws, rcap)
+            return t.keys, t.covs, t.n[None]
+
+        fn = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(P(None, AXIS, None), P(None, AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+        )
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=None)
+    def _merge_fn(self, capacity: int):
+        def per_shard(tk, tc, lk, lc):
+            a = sc.KmerTable(keys=tk, covs=tc, n=jnp.zeros((), jnp.int32))
+            b = sc.KmerTable(keys=lk, covs=lc, n=jnp.zeros((), jnp.int32))
+            m = sc.merge_sorted_tables(a, b, capacity)
+            return m.keys, m.covs, m.n[None]
+
+        fn = jax.shard_map(
+            per_shard,
+            mesh=self.mesh,
+            in_specs=(P(AXIS, None),) * 4,
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+        )
+        return jax.jit(fn)
+
+    # -- streaming API ------------------------------------------------------
+
+    def add_batch(self, codes: np.ndarray, lengths: np.ndarray, n: int):
+        """Feed one (B, L) batch (B must divide the mesh)."""
+        codes_d = jax.device_put(jnp.asarray(codes), self._sh2)
+        lengths_d = jax.device_put(jnp.asarray(lengths), self._sh1)
+        bw, bf, dropped = self._route(codes_d, lengths_d)
+        self._pending.append((bw, bf, dropped))
+        self.n_reads += n
+        if len(self._pending) >= self.FLUSH_N:
+            self._flush()
+
+    def _flush(self):
+        if not self._pending:
+            return
+        fan_in = self.FLUSH_N
+        rows = self.rows_per_flushblock
+        while len(self._pending) < fan_in:
+            pad_k = jnp.full(
+                (self.n_shards * rows, self.w), 0xFFFFFFFF, jnp.uint32
+            )
+            pad_f = jnp.zeros((self.n_shards * rows,), jnp.uint32)
+            self._pending.append((
+                jax.device_put(pad_k, self._sh2),
+                jax.device_put(pad_f, self._sh1),
+                None,
+            ))
+        keys = jnp.stack([p[0] for p in self._pending], axis=0)
+        flank = jnp.stack([p[1] for p in self._pending], axis=0)
+        for p in self._pending:
+            if p[2] is not None:
+                self.dropped += int(np.asarray(p[2]).sum())
+        rcap = min(self.capacity, fan_in * rows)
+        lk, lc, ln = self._reduce_fn(rcap, fan_in)(keys, flank)
+        ln_max = int(np.asarray(ln).max())  # one readback per flush
+        if ln_max > rcap:
+            rcap = _next_pow2(ln_max)
+            lk, lc, ln = self._reduce_fn(rcap, fan_in)(keys, flank)
+            ln_max = int(np.asarray(ln).max())
+        if self._n_bound + ln_max > self.capacity:
+            self.capacity = _next_pow2((self._n_bound + ln_max) * 2)
+        if self._table is None:
+            tk = jax.device_put(
+                jnp.full((self.n_shards * self.capacity, self.w),
+                         0xFFFFFFFF, jnp.uint32),
+                self._sh2,
+            )
+            tc = jax.device_put(
+                jnp.zeros((self.n_shards * self.capacity, sc.N_COV),
+                          jnp.uint16),
+                self._sh2,
+            )
+        else:
+            tk, tc, cur_cap = self._table
+            if cur_cap < self.capacity:
+                grow = self.capacity - cur_cap
+                gk = jnp.full((self.n_shards, grow, self.w), 0xFFFFFFFF,
+                              jnp.uint32)
+                gc = jnp.zeros((self.n_shards, grow, sc.N_COV), jnp.uint16)
+                tk = jnp.concatenate(
+                    [tk.reshape(self.n_shards, cur_cap, self.w), gk], axis=1
+                ).reshape(self.n_shards * self.capacity, self.w)
+                tc = jnp.concatenate(
+                    [tc.reshape(self.n_shards, cur_cap, sc.N_COV), gc], axis=1
+                ).reshape(self.n_shards * self.capacity, sc.N_COV)
+                tk = jax.device_put(tk, self._sh2)
+                tc = jax.device_put(tc, self._sh2)
+        # pad the L1 run to the table capacity per shard (merge needs no
+        # shape match, but keeping one merge shape per capacity avoids
+        # recompiles); merge_sorted_ops pads internally, so pass as-is.
+        mk, mc, mn = self._merge_fn(self.capacity)(tk, tc, lk, lc)
+        self._table = (mk, mc, self.capacity)
+        self._n = mn
+        self._n_bound += ln_max
+        self._pending = []
+
+    def finish(self):
+        """Flush and return (keys, covs, n_per_shard) — device arrays
+        sharded P(shard, None); rows [s*cap, s*cap+n[s]) are shard s's
+        sorted sub-table."""
+        self._flush()
+        if self._table is None:
+            tk = jnp.full((self.n_shards * self.capacity, self.w),
+                          0xFFFFFFFF, jnp.uint32)
+            tc = jnp.zeros((self.n_shards * self.capacity, sc.N_COV),
+                           jnp.uint16)
+            return tk, tc, jnp.zeros((self.n_shards,), jnp.int32)
+        tk, tc, _ = self._table
+        return tk, tc, self._n.astype(jnp.int32)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(10, (x - 1).bit_length())
+
+
+def count_stream_sharded(batches, k: int, mesh: Mesh, max_len: int,
+                         batch_b: int, **kw):
+    """Convenience driver: stream an iterable of io.reads.ReadBatch
+    through a ShardedCountStream.  Returns (keys, covs, n_per_shard,
+    n_reads, dropped)."""
+    stream = None
+    for batch in batches:
+        batch = batch.trimmed()
+        codes, lengths = batch.codes, batch.lengths
+        B, L = codes.shape
+        if B % mesh.devices.size:
+            pad = mesh.devices.size - B % mesh.devices.size
+            codes = np.concatenate(
+                [codes, np.full((pad, L), kops.BASE_N, np.uint8)]
+            )
+            lengths = np.concatenate(
+                [lengths, np.zeros((pad,), lengths.dtype)]
+            )
+        if stream is None:
+            stream = ShardedCountStream(
+                mesh, k, codes.shape[0], max(max_len, L, k), **kw
+            )
+        stream.add_batch(codes, lengths, batch.n)
+    if stream is None:
+        raise ValueError("no batches")
+    keys, covs, n = stream.finish()
+    return keys, covs, n, stream.n_reads, stream.dropped
+
+
 def count_reads_sharded(
     codes: np.ndarray, lengths: np.ndarray, k: int, mesh: Mesh,
     bucket_cap: Optional[int] = None,
