@@ -79,155 +79,315 @@ class ContigGraph:
         self.deleted[self.twin[e]] = True
 
 
+def decode_kmer_codes(words: np.ndarray, k: int) -> np.ndarray:
+    """(E, W) packed k-mer words -> (E, k) base codes, vectorized.
+
+    Layout: big-endian words (word 0 = most significant), 2 bits/base,
+    last base in the LSBs of the final word (ops/kmer.py)."""
+    words = np.asarray(words)
+    E, W = words.shape
+    out = np.empty((E, k), np.uint8)
+    for i in range(k):
+        bit = 2 * k - 2 - 2 * i
+        wj = W - 1 - bit // 32
+        sh = bit % 32
+        out[:, i] = (words[:, wj] >> sh) & 3
+    return out
+
+
 def from_pregraph(pre: pg.PregraphResult) -> ContigGraph:
     eg = pre.edges
-    seqs = []
-    for e in range(eg.n_edges):
-        head = _kmer_codes(eg.first_kmer[e], eg.k)
-        tail = eg.seq_bases[eg.seq_off[e] : eg.seq_off[e + 1]]
-        seqs.append(np.concatenate([head, tail]).astype(np.uint8))
-    arcs: List[Dict[int, int]] = [dict() for _ in range(eg.n_edges)]
+    E = eg.n_edges
+    heads = decode_kmer_codes(eg.first_kmer, eg.k) if E else np.zeros(
+        (0, eg.k), np.uint8
+    )
+    seq_off = np.asarray(eg.seq_off)
+    seq_bases = np.asarray(eg.seq_bases)
+    seqs = [
+        np.concatenate([heads[e], seq_bases[seq_off[e] : seq_off[e + 1]]])
+        for e in range(E)
+    ]
+    arcs: List[Dict[int, int]] = [dict() for _ in range(E)]
     n = int(pre.arcs.n)
     keys = np.asarray(pre.arcs.keys)[:n].astype(np.int64)
-    mult = np.asarray(pre.arcs.mult)[:n]
-    raw: Dict[Tuple[int, int], int] = {}
-    for (f, t), m in zip(keys, mult):
-        if f < eg.n_edges and t < eg.n_edges:
-            raw[(int(f), int(t))] = int(m)
-    twin = eg.twin
-    for (f, t), m in raw.items():
+    mult = np.asarray(pre.arcs.mult)[:n].astype(np.int64)
+    twin = np.asarray(eg.twin)
+    if n:
+        f = keys[:, 0]
+        t = keys[:, 1]
         # loadPreGraph.c add1Arc:581 — drop inconsistent joins (edges that
-        # do not share a junction k-mer) and give an arc and its
-        # reverse-complement mirror one shared multiplicity.
-        if not (
-            eg.to_node[f] == eg.from_node[t]
-            and eg.to_orient[f] == eg.from_orient[t]
-        ):
-            continue
-        w = m + raw.get((int(twin[t]), int(twin[f])), 0)
-        arcs[f][t] = w
-        arcs[int(twin[t])][int(twin[f])] = w
+        # do not share a junction k-mer)
+        ok = (f < E) & (t < E)
+        fs, ts = np.minimum(f, E - 1), np.minimum(t, E - 1)
+        ok &= (eg.to_node[fs] == eg.from_node[ts]) & (
+            eg.to_orient[fs] == eg.from_orient[ts]
+        )
+        f, t, m = f[ok], t[ok], mult[ok]
+        # an arc and its reverse-complement mirror share one multiplicity:
+        # join (f, t) with (twin[t], twin[f]) via a sorted lookup
+        key = f * E + t
+        mirror = twin[t] * E + twin[f]
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        pos = np.searchsorted(skey, mirror)
+        pos_c = np.minimum(pos, skey.size - 1)
+        hasm = skey[pos_c] == mirror
+        madd = np.where(hasm, m[order][pos_c], 0)
+        w = m + madd
+        for i in range(f.size):
+            arcs[int(f[i])][int(t[i])] = int(w[i])
+            arcs[int(twin[t[i]])][int(twin[f[i]])] = int(w[i])
     return ContigGraph(
         k=eg.k,
         seqs=seqs,
-        cvg10=eg.cvg10.copy(),
-        twin=eg.twin.copy(),
-        deleted=np.zeros((eg.n_edges,), bool),
+        cvg10=np.asarray(eg.cvg10).copy(),
+        twin=twin.copy(),
+        deleted=np.zeros((E,), bool),
         arcs=arcs,
         marker=pre.marker_on_edge.copy() if pre.marker_on_edge is not None else None,
     )
 
 
-def _kmer_codes(words: np.ndarray, k: int) -> np.ndarray:
-    from ..ops import kmer as kops
-
-    s = kops.kmer_to_string(words, k)
-    return kops.codes_from_ascii(np.frombuffer(s.encode(), np.uint8))
-
-
 # ---------------------------------------------------------------------------
-# cleaning passes
+# cleaning passes — vectorized over flat arc arrays
 # ---------------------------------------------------------------------------
 
 
-def remove_weak_edges(g: ContigGraph, len_cutoff: int, multi_cutoff: int = 1) -> int:
-    """cutTip_graph.c:140 — to fixpoint."""
+class _ArcView:
+    """Flat live-arc view of a ContigGraph for vectorized passes.
+
+    Maintains, per directed edge e, over its LIVE out-arcs (arcs whose
+    source and target are both undeleted):
+      out_deg[e]  — count
+      out_t[e]    — sum of targets   (== THE target when out_deg == 1)
+      out_m[e]    — sum of mults     (== THE mult   when out_deg == 1)
+    In-arc state of e is the out-state of twin[e] (the dict-of-dicts
+    representation mirrors every arc on the twin side).  ``kill(e)``
+    updates the sums incrementally in O(deg(e)).
+
+    This turns the former per-edge rescan fixpoints (O(E) per deletion)
+    into O(E + A) total — the scale fix for human-genome-sized edge
+    graphs (cutTip_graph.c runs these passes in C at that scale).
+    """
+
+    def __init__(self, g: ContigGraph):
+        E = g.n_edges
+        self.g = g
+        counts = np.fromiter(
+            (len(d) for d in g.arcs), np.int64, count=E
+        )
+        A = int(counts.sum())
+        src = np.repeat(np.arange(E, dtype=np.int64), counts)
+        dst = np.empty((A,), np.int64)
+        mlt = np.empty((A,), np.int64)
+        i = 0
+        for e in range(E):
+            d = g.arcs[e]
+            for t, m in d.items():
+                dst[i] = t
+                mlt[i] = m
+                i += 1
+        self.src, self.dst, self.mlt = src, dst, mlt
+        self.arc_live = ~(g.deleted[src] | g.deleted[dst])
+        self.out_deg = np.bincount(
+            src[self.arc_live], minlength=E
+        ).astype(np.int64)
+        self.out_t = np.bincount(
+            src[self.arc_live], weights=dst[self.arc_live], minlength=E
+        ).astype(np.int64)
+        self.out_m = np.bincount(
+            src[self.arc_live], weights=mlt[self.arc_live], minlength=E
+        ).astype(np.int64)
+        # CSR over dst (to update sources when a target dies) and src
+        order_d = np.argsort(dst, kind="stable")
+        self.by_dst = order_d
+        self.dst_off = np.searchsorted(dst[order_d], np.arange(E + 1))
+        order_s = np.argsort(src, kind="stable")
+        self.by_src = order_s
+        self.src_off = np.searchsorted(src[order_s], np.arange(E + 1))
+
+    def kill(self, e: int) -> None:
+        """Mark directed edge e deleted and retract its live arcs."""
+        g = self.g
+        if g.deleted[e]:
+            return
+        g.deleted[e] = True
+        # arcs INTO e: decrement their sources' out-state
+        for i in self.by_dst[self.dst_off[e] : self.dst_off[e + 1]]:
+            if self.arc_live[i]:
+                self.arc_live[i] = False
+                s = self.src[i]
+                self.out_deg[s] -= 1
+                self.out_t[s] -= self.dst[i]
+                self.out_m[s] -= self.mlt[i]
+        # arcs FROM e die with it
+        for i in self.by_src[self.src_off[e] : self.src_off[e + 1]]:
+            if self.arc_live[i]:
+                self.arc_live[i] = False
+                self.out_deg[e] -= 1
+                self.out_t[e] -= self.dst[i]
+                self.out_m[e] -= self.mlt[i]
+
+    def destroy(self, e: int) -> None:
+        self.kill(e)
+        self.kill(int(self.g.twin[e]))
+
+    def max_in_mult(self, e: int) -> int:
+        """Max multiplicity over live in-arcs of e (= out-arcs of twin)."""
+        t = int(self.g.twin[e])
+        best = 0
+        for i in self.by_src[self.src_off[t] : self.src_off[t + 1]]:
+            if self.arc_live[i] and self.mlt[i] > best:
+                best = int(self.mlt[i])
+        return best
+
+
+def _edge_lens(g: ContigGraph) -> np.ndarray:
+    return np.fromiter(
+        (len(s) for s in g.seqs), np.int64, count=g.n_edges
+    ) - g.k
+
+
+def remove_weak_edges(g: ContigGraph, len_cutoff: int, multi_cutoff: int = 1,
+                      view: Optional[_ArcView] = None) -> int:
+    """cutTip_graph.c:140 — short inner edges with a single weak arc on
+    both sides, to fixpoint.  Candidates are detected vectorized per
+    sweep and re-checked against the live state at deletion time."""
+    view = view or _ArcView(g)
+    elen = _edge_lens(g)
+    E = g.n_edges
+    ids = np.arange(E)
+    static = (
+        (elen > 0) & (elen <= len_cutoff) & (g.twin != ids)
+    )
     total = 0
     changed = True
     while changed:
         changed = False
-        for e in range(g.n_edges):
-            if g.deleted[e] or g.edge_len(e) == 0 or g.edge_len(e) > len_cutoff:
+        cand = (
+            static & ~g.deleted
+            & (view.out_deg == 1) & (view.out_m <= multi_cutoff)
+            & (view.out_deg[g.twin] == 1) & (view.out_m[g.twin] <= multi_cutoff)
+        )
+        for e in np.nonzero(cand)[0]:
+            e = int(e)
+            if g.deleted[e]:
                 continue
-            if g.twin[e] == e:
+            t = int(g.twin[e])
+            if not (
+                view.out_deg[e] == 1 and view.out_m[e] <= multi_cutoff
+                and view.out_deg[t] == 1 and view.out_m[t] <= multi_cutoff
+            ):
                 continue
-            right = g.live_arcs(e)
-            if len(right) != 1 or right[0][1] > multi_cutoff:
-                continue
-            left = g.live_arcs(g.twin[e])
-            if len(left) != 1 or left[0][1] > multi_cutoff:
-                continue
-            g.destroy_edge(e)
+            view.destroy(e)
             total += 1
             changed = True
     return total
 
 
-def remove_low_cov_edges(g: ContigGraph, len_cutoff: int, cov_cutoff: int) -> int:
-    """cutTip_graph.c:222 — single pass over short low-coverage inner edges."""
+def remove_low_cov_edges(g: ContigGraph, len_cutoff: int, cov_cutoff: int,
+                         view: Optional[_ArcView] = None) -> int:
+    """cutTip_graph.c:222 — single pass over short low-coverage inner
+    edges (edges with live arcs on both sides)."""
+    view = view or _ArcView(g)
+    elen = _edge_lens(g)
+    E = g.n_edges
+    ids = np.arange(E)
+    cand = (
+        ~g.deleted
+        & (g.cvg10 > 0) & (g.cvg10 <= cov_cutoff * 10)
+        & (elen > 0) & (elen < len_cutoff) & (g.twin != ids)
+        & (view.out_deg > 0) & (view.out_deg[g.twin] > 0)
+    )
     n = 0
-    for e in range(g.n_edges):
-        if (
-            g.deleted[e]
-            or g.cvg10[e] == 0
-            or g.cvg10[e] > cov_cutoff * 10
-            or g.edge_len(e) >= len_cutoff
-            or g.twin[e] == e
-            or g.edge_len(e) == 0
-        ):
+    for e in np.nonzero(cand)[0]:
+        e = int(e)
+        if g.deleted[e]:
             continue
-        if not g.live_arcs(e) or not g.live_arcs(g.twin[e]):
+        t = int(g.twin[e])
+        if view.out_deg[e] == 0 or view.out_deg[t] == 0:
             continue
-        g.destroy_edge(e)
+        view.destroy(e)
         n += 1
     return n
 
 
-def _is_unreliable_tip(g: ContigGraph, e: int, cut_len: int) -> bool:
-    """isUnreliableTip (cutTip_graph.c:280), non-strict variant."""
-    if g.deleted[e] or g.twin[e] == e:
-        return False
-    if g.live_arcs(g.twin[e]):
-        return False  # has incoming arcs: not a dangling start
-    cur = e
-    length = 0
-    active_mult = 0
-    left_n = 0
-    guard = 0
-    while cur >= 0:
-        guard += 1
-        if guard > g.n_edges + 2:
-            return False
-        left = g.live_arcs(g.twin[cur])
-        right = g.live_arcs(cur)
-        left_n = len(left)
-        if left_n > 1 or len(right) > 1:
-            break
-        length += g.edge_len(cur)
-        if right:
-            active_mult = right[0][1]
-            cur = right[0][0]
-        else:
-            cur = -1
-    if length >= cut_len:
-        return False
-    if cur < 0:
-        return True  # dangling chain shorter than cut_len
-    # non-strict: attachment edge's length may absorb the tip
-    if left_n < 2:
-        length += g.edge_len(cur)
-        return length < cut_len
-    if active_mult == 1:
-        return True
-    max_mult = max((m for _, m in g.live_arcs(g.twin[cur])), default=0)
-    return max_mult > active_mult
+def cut_tips_in_graph(g: ContigGraph, cut_len: int = 0,
+                      view: Optional[_ArcView] = None) -> int:
+    """cutTipsInGraph (cutTip_graph.c:526) to fixpoint.
 
-
-def cut_tips_in_graph(g: ContigGraph, cut_len: int = 0) -> int:
-    """cutTipsInGraph (cutTip_graph.c:526) to fixpoint."""
+    Dangling starts (no live in-arcs) are found vectorized; the chain
+    walk of isUnreliableTip (cutTip_graph.c:280, non-strict variant) runs
+    lockstep across all candidates per sweep.  Only the start edge is
+    destroyed per hit — downstream chain edges become dangling starts of
+    the next sweep, as in the reference."""
     if not cut_len:
         cut_len = 2 * g.k
+    view = view or _ArcView(g)
+    elen = _edge_lens(g)
+    E = g.n_edges
+    ids = np.arange(E)
+    twin = g.twin.astype(np.int64)
     total = 0
     changed = True
     while changed:
         changed = False
-        for e in range(g.n_edges):
+        starts = np.nonzero(
+            ~g.deleted & (twin != ids) & (view.out_deg[twin] == 0)
+        )[0]
+        if starts.size == 0:
+            break
+        # lockstep walk
+        cur = starts.astype(np.int64)
+        length = np.zeros_like(cur)
+        active_mult = np.zeros_like(cur)
+        last_left_n = np.zeros_like(cur)
+        state = np.zeros(cur.shape, np.int8)  # 0=walking 1=dangling 2=branch
+        attach = np.full(cur.shape, -1, np.int64)
+        for _ in range(E + 2):
+            walking = state == 0
+            if not walking.any():
+                break
+            c = cur[walking]
+            left_n = view.out_deg[twin[c]]
+            right_n = view.out_deg[c]
+            at_branch = (left_n > 1) | (right_n > 1)
+            # record attachment and stop those lanes
+            idx = np.nonzero(walking)[0]
+            bidx = idx[at_branch]
+            attach[bidx] = c[at_branch]
+            last_left_n[bidx] = left_n[at_branch]
+            state[bidx] = 2
+            # advance the rest
+            go = idx[~at_branch]
+            cgo = c[~at_branch]
+            length[go] += elen[cgo]
+            has_next = view.out_deg[cgo] == 1
+            nxt = np.where(has_next, view.out_t[cgo], -1)
+            active_mult[go[has_next]] = view.out_m[cgo[has_next]]
+            state[go[~has_next]] = 1  # dangling end
+            cur[go] = nxt
+        # verdicts (isUnreliableTip tail conditions)
+        is_tip = np.zeros(cur.shape, bool)
+        short = length < cut_len
+        is_tip[(state == 1) & short] = True
+        at = state == 2
+        at_idx = np.nonzero(at & short)[0]
+        for j in at_idx:
+            if last_left_n[j] < 2:
+                # attachment edge's length may absorb the tip
+                is_tip[j] = (length[j] + elen[attach[j]]) < cut_len
+            elif active_mult[j] == 1:
+                is_tip[j] = True
+            else:
+                is_tip[j] = view.max_in_mult(int(attach[j])) > active_mult[j]
+        for e in starts[is_tip]:
+            e = int(e)
             if g.deleted[e]:
                 continue
-            if _is_unreliable_tip(g, e, cut_len):
-                g.destroy_edge(e)
-                total += 1
-                changed = True
+            view.destroy(e)
+            total += 1
+            changed = True
     return total
 
 
@@ -412,20 +572,33 @@ def bubble_pinch(g: ContigGraph, similarity: float = 0.90,
     if max_node_len is None:
         max_node_len = 6 * g.k
     merged = 0
-    # group edges by (pred, succ)
+    # group edges by (pred, succ) — vectorized over the flat arc view
+    E = g.n_edges
+    view = _ArcView(g)
+    elen = _edge_lens(g)
+    ids = np.arange(E, dtype=np.int64)
+    twin = g.twin.astype(np.int64)
+    cand_mask = (
+        ~g.deleted & (twin != ids)
+        & (view.out_deg == 1) & (view.out_deg[twin] == 1)
+        & (elen <= max_node_len)
+    )
+    ce = np.nonzero(cand_mask)[0]
     groups: Dict[Tuple[int, int], List[int]] = {}
-    for e in range(g.n_edges):
-        if g.deleted[e] or g.twin[e] == e:
-            continue
-        right = g.live_arcs(e)
-        left = g.live_arcs(g.twin[e])
-        if len(right) != 1 or len(left) != 1:
-            continue
-        if g.edge_len(e) > max_node_len:
-            continue
-        pred = g.twin[left[0][0]]  # actual predecessor edge
-        succ = right[0][0]
-        groups.setdefault((int(pred), int(succ)), []).append(e)
+    if ce.size:
+        pred = twin[view.out_t[twin[ce]]]  # actual predecessor edge
+        succ = view.out_t[ce]
+        order = np.lexsort((ce, succ, pred))
+        pe, se, ee = pred[order], succ[order], ce[order]
+        new = np.ones(ee.shape, bool)
+        new[1:] = (pe[1:] != pe[:-1]) | (se[1:] != se[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], ee.size)
+        for s0, s1 in zip(starts, ends):
+            if s1 - s0 >= 2:
+                groups[(int(pe[s0]), int(se[s0]))] = [
+                    int(x) for x in ee[s0:s1]
+                ]
 
     # phase 1: collect candidate pairs, score them in one batched device
     # call (Pallas banded-DP kernel; bubble.c compareSequences:509)
@@ -599,29 +772,155 @@ def bubble_pinch_paths(g: ContigGraph, similarity: float = 0.90,
 
 def linear_concatenate(g: ContigGraph) -> int:
     """concatenateEdge.c linearConcatenate:264 — merge unique-successor
-    chains.  Returns number of merges."""
+    chains.  Returns number of merges (chain members − 1 per chain).
+
+    Chains are PLANNED vectorized (the functional graph of mergeable
+    links is a partial injection, so it decomposes into simple chains and
+    cycles), then each chain is concatenated in one shot — O(E + L)
+    versus the former pairwise rescan's O(E^2)."""
+    E = g.n_edges
+    if E == 0:
+        return 0
+    view = _ArcView(g)
+    twin = g.twin.astype(np.int64)
+    ids = np.arange(E, dtype=np.int64)
+    one_out = (~g.deleted) & (view.out_deg == 1)
+    succ = np.where(one_out, view.out_t, -1)
+    tsafe = np.maximum(succ, 0)
+    ok = (
+        one_out
+        & (succ != ids)
+        & (succ != twin)
+        & ~g.deleted[tsafe]
+        & (view.out_deg[twin[tsafe]] == 1)  # unique in-arc of successor
+    )
+    # sanity: sequences must overlap by k (shared junction k-mer)
+    for e in np.nonzero(ok)[0]:
+        nxt = int(succ[e])
+        if not np.array_equal(g.seqs[e][-g.k :], g.seqs[nxt][: g.k]):
+            ok[e] = False
+    succ = np.where(ok, succ, -1)
+    if not (succ >= 0).any():
+        return 0
+    pred = np.full((E,), -1, np.int64)
+    pred[succ[succ >= 0]] = ids[succ >= 0]
+
     merged = 0
-    changed = True
-    while changed:
-        changed = False
-        for e in range(g.n_edges):
-            if g.deleted[e]:
-                continue
-            right = g.live_arcs(e)
-            if len(right) != 1:
-                continue
-            nxt = right[0][0]
-            if nxt == e or nxt == g.twin[e] or g.deleted[nxt]:
-                continue
-            left_of_next = g.live_arcs(g.twin[nxt])
-            if len(left_of_next) != 1:
-                continue
-            # sanity: sequences must overlap by k (shared junction k-mer)
-            if not np.array_equal(g.seqs[e][-g.k :], g.seqs[nxt][: g.k]):
-                continue
-            _merge_pair(g, e, nxt)
-            merged += 1
-            changed = True
+    visited = np.zeros((E,), bool)
+
+    def chain_from(h: int) -> List[int]:
+        chain = [h]
+        while succ[chain[-1]] >= 0:
+            nxt = int(succ[chain[-1]])
+            if nxt == h:  # cycle closed
+                break
+            chain.append(nxt)
+        return chain
+
+    # heads: members of a mergeable link with no mergeable predecessor;
+    # pure cycles get their smallest member as head (the closing link is
+    # left unmerged, collapsing the cycle to one self-arc edge — the
+    # fixpoint the former pairwise code reached)
+    heads = [int(h) for h in np.nonzero(
+        (pred < 0) & ((succ >= 0))
+    )[0]]
+    in_chain = np.zeros((E,), bool)
+    for h in heads:
+        for e in chain_from(h):
+            in_chain[e] = True
+    for e in np.nonzero((succ >= 0) & ~in_chain)[0]:
+        e = int(e)
+        if in_chain[e]:
+            continue
+        # cycle: pick the smallest member as head, cut the closing link
+        c = chain_from(e)
+        m = min(c)
+        i = c.index(m)
+        cyc = c[i:] + c[:i]
+        succ[cyc[-1]] = -1
+        heads.append(m)
+        for x in cyc:
+            in_chain[x] = True
+
+    for h in heads:
+        if visited[h]:
+            continue
+        chain = chain_from(h)
+        for x in chain:
+            visited[x] = True
+        if len(chain) < 2:
+            continue
+        tchain = [int(twin[x]) for x in chain]
+        if set(chain) & set(tchain):
+            # palindromic chain (contains an edge and its twin): fall back
+            # to careful pairwise merging for this rare shape
+            merged += _merge_chain_pairwise(g, chain)
+            continue
+        # mark twins' chain as visited (it is this chain's mirror)
+        for x in tchain:
+            visited[x] = True
+        merged += len(chain) - 1
+        e1, t1 = chain[0], tchain[0]
+        em, tm = chain[-1], tchain[-1]
+        # coverage: left-fold length-weighted mean BEFORE seq mutation
+        # (the pairwise _merge_pair update applied along the chain)
+        lens = [len(g.seqs[x]) - g.k for x in chain]
+        l = lens[0]
+        cvg = int(g.cvg10[e1])
+        for x, li in zip(chain[1:], lens[1:]):
+            if l + li > 0:
+                cvg = (cvg * l + int(g.cvg10[x]) * li) // max(l + li, 1)
+            l += li
+        # sequences: e1 = e1 · e2[k:] ·…· em[k:]; t1 = tm ·…· t1[k:]
+        g.seqs[e1] = np.concatenate(
+            [g.seqs[e1]] + [g.seqs[x][g.k :] for x in chain[1:]]
+        )
+        g.seqs[t1] = np.concatenate(
+            [g.seqs[tm]] + [g.seqs[x][g.k :] for x in tchain[-2::-1]]
+        )
+        g.cvg10[e1] = g.cvg10[t1] = cvg
+        if g.marker is not None:
+            tot = int(g.marker[e1]) + sum(int(g.marker[x]) for x in chain[1:])
+            g.marker[e1] = g.marker[t1] = min(255, tot)
+        # arcs: merged edge takes em's out-arcs; interior dicts clear;
+        # mirrors of em's successors retarget tm -> t1
+        em_arcs = g.arcs[em]
+        g.arcs[em] = {}
+        g.arcs[e1] = em_arcs
+        for x in chain[1:]:
+            if x != em:
+                g.arcs[x] = {}
+        for x in tchain[1:]:
+            g.arcs[x] = {}
+        for s in list(em_arcs.keys()):
+            d = g.arcs[int(twin[s])]
+            if tm in d:
+                d[t1] = d.get(t1, 0) + d.pop(tm)
+        for x in chain[1:]:
+            g.deleted[x] = True
+        for x in tchain[1:]:
+            g.deleted[x] = True
+    return merged
+
+
+def _merge_chain_pairwise(g: ContigGraph, chain: List[int]) -> int:
+    """Pairwise fallback for palindromic chains (chain meets its own
+    twin): re-check liveness/uniqueness before each step."""
+    merged = 0
+    e = chain[0]
+    while True:
+        right = g.live_arcs(e)
+        if len(right) != 1:
+            break
+        nxt = right[0][0]
+        if nxt == e or nxt == int(g.twin[e]) or g.deleted[nxt]:
+            break
+        if len(g.live_arcs(g.twin[nxt])) != 1:
+            break
+        if not np.array_equal(g.seqs[e][-g.k :], g.seqs[nxt][: g.k]):
+            break
+        _merge_pair(g, e, nxt)
+        merged += 1
     return merged
 
 

@@ -212,6 +212,7 @@ def map_reads(
     progress: bool = True,
     gap_pool: Optional[GapReads] = None,
     insert_size: int = 0,
+    mapper=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Map a read stream; returns (read_id, ctg, pos, gap_read_ids, n).
 
@@ -264,10 +265,15 @@ def map_reads(
     in_flight = None
     for batch in batch_iter:
         batch = batch.trimmed()
-        dev = _map_batch(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
-            keys, cid, pos_a, flip, clen,
-        )
+        if mapper is not None:
+            # multi-chip: batch sharded over the mesh, index replicated
+            # (parallel/shard_streams.ShardedMapper)
+            dev = mapper.map_batch(batch.codes, batch.lengths)
+        else:
+            dev = _map_batch(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
+                keys, cid, pos_a, flip, clen,
+            )
         if in_flight is not None:
             consume(*in_flight)
         in_flight = (batch, dev)
@@ -289,13 +295,27 @@ def map_reads(
 
 
 def run_map(cfg, contig_seqs: List[str], k: int,
-            batch_size: int = 8192, progress: bool = True) -> MapResult:
+            batch_size: int = 8192, progress: bool = True,
+            mesh="auto") -> MapResult:
     """map.c call_align:96 — index contigs, stream scaffolding libraries
-    in ascending-insert order, record per-library read-id gradations."""
+    in ascending-insert order, record per-library read-id gradations.
+
+    ``mesh``: "auto" data-parallelizes read batches over all visible
+    devices with the contig index replicated (prlRead2Ctg.c:779's shared
+    read-only index); None runs single-chip."""
     index = build_contig_index(contig_seqs, k)
     if progress:
         log.info("contig index: %d unique kmers over %d contigs",
                  index.keys.shape[0], index.n_contigs)
+    if mesh == "auto":
+        from ..parallel.shard_streams import default_mesh
+
+        mesh = default_mesh()
+    mapper = None
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel.shard_streams import ShardedMapper
+
+        mapper = ShardedMapper(mesh, index)
     grads: List[rio.PeGrad] = []
     all_rid, all_ctg, all_pos, all_gap = [], [], [], []
     gap_pool = GapReads.empty()
@@ -310,6 +330,7 @@ def run_map(cfg, contig_seqs: List[str], k: int,
             ),
             index, progress=progress,
             gap_pool=gap_pool, insert_size=lib.avg_ins,
+            mapper=mapper,
         )
         next_id += n_lib
         grads.append(

@@ -421,6 +421,69 @@ def _collapse_path(row: np.ndarray) -> np.ndarray:
     return row[keep]
 
 
+def build_arcs_sharded(
+    batches: Iterable[rio.ReadBatch],
+    eg: edge_mod.EdgeGraph,
+    table: sc.KmerTable,
+    k: int,
+    mesh,
+    record_paths: bool = False,
+) -> Tuple[ArcAccumulator, np.ndarray, Optional[List[np.ndarray]]]:
+    """Multi-chip arc pass: (from, to) pairs all_to_all-routed to their
+    hash owner and LSM-accumulated per shard (prlRead2path.c:786's
+    per-thread preArc ownership re-expressed over ICI).  Same return
+    contract as ``build_arcs``; the gathered union is bit-identical to
+    the single-device arc table."""
+    from ..parallel import shard_streams as ss
+
+    stream = ss.ShardedArcStream(
+        mesh, k, table.keys, eg.state_edge, eg.state_rank,
+        eg.patch_keys, eg.patch_edge, eg.patch_twin,
+    )
+    n_shards = mesh.devices.size
+    marker = np.zeros((eg.n_edges,), np.int32)
+    paths: Optional[List[np.ndarray]] = [] if record_paths else None
+
+    def record(hits_dev, n_rows):
+        h = np.asarray(hits_dev)[:n_rows]
+        for row in h:
+            path = _collapse_path(row)
+            if len(path) >= 3:
+                paths.append(path)
+                marker[path] = np.minimum(marker[path] + 1, 255)
+
+    in_flight = None  # (hits device array, live rows) — one-batch delay
+    for batch in batches:
+        batch = batch.trimmed()
+        codes, lengths = batch.codes, batch.lengths
+        pad = (-codes.shape[0]) % n_shards
+        if pad:
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), kops.BASE_N, np.uint8)]
+            )
+            lengths = np.concatenate([lengths, np.zeros((pad,), lengths.dtype)])
+        hits = stream.add_batch(codes, lengths)
+        if record_paths:
+            if in_flight is not None:
+                record(*in_flight)
+            in_flight = (hits, batch.n)
+    if record_paths and in_flight is not None:
+        record(*in_flight)
+    keys, mult, n = stream.finish()
+    uk, um = ss.gather_arc_union(keys, mult, n)
+    cap = _next_pow2(uk.shape[0] + 1)
+    keys_p = np.full((cap, 2), 0xFFFFFFFF, np.uint32)
+    mult_p = np.zeros((cap,), np.int32)
+    keys_p[: uk.shape[0]] = uk
+    mult_p[: um.shape[0]] = um
+    arcs = ArcAccumulator(
+        keys=jnp.asarray(keys_p),
+        mult=jnp.asarray(mult_p),
+        n=jnp.asarray(np.int32(uk.shape[0])),
+    )
+    return arcs, marker, paths
+
+
 # ---------------------------------------------------------------------------
 # Full stage driver
 # ---------------------------------------------------------------------------
@@ -448,12 +511,25 @@ def run_pregraph(
     batch_size: int = 16384,
     genome_size: int = 0,
     progress: bool = True,
+    mesh="auto",
 ) -> PregraphResult:
-    """pregraph.c call_pregraph:62, end to end in memory."""
+    """pregraph.c call_pregraph:62, end to end in memory.
+
+    ``mesh``: "auto" shards the count and arc read streams over all
+    visible devices (the reference's thread-pool parallelism over ICI,
+    prlHashReads.c:83); None or a 1-device mesh runs single-chip.
+    """
     t0 = time.time()
     max_len = cfg.max_rd_len
 
     from ..io import native_reads
+
+    if mesh == "auto":
+        from ..parallel.shard_streams import default_mesh
+
+        mesh = default_mesh()
+    if mesh is not None and mesh.devices.size < 2:
+        mesh = None
 
     def read_batches():
         for lib in cfg.libs_for_contig():
@@ -462,10 +538,35 @@ def run_pregraph(
     # -z genome-size hint pre-sizes the table so capacity never grows
     # mid-stream (each growth is a fresh XLA merge shape)
     init_cap = _next_pow2(int(genome_size * 1.7)) if genome_size else 1 << 20
-    table, n_reads = count_reads_to_table(
-        read_batches(), k, max_len, init_capacity=init_cap
-    )
-    table = shrink_table(table, k)
+    if mesh is not None:
+        from ..parallel import shard_count as pc
+        from ..parallel import shard_streams as ss
+
+        skeys, scovs, sn, n_reads, dropped = pc.count_stream_sharded(
+            read_batches(), k, mesh, max_len, batch_size,
+            init_cap_per_shard=max(
+                1 << 14, init_cap // mesh.devices.size
+            ),
+        )
+        if dropped:
+            raise RuntimeError(
+                f"sharded count dropped {dropped} k-mers; raise bucket_cap"
+            )
+        uk, uc = ss.gather_table_union(skeys, scovs, sn)
+        cap = _next_pow2(uk.shape[0] + 1)
+        keys_p = np.full((cap, uk.shape[1]), 0xFFFFFFFF, np.uint32)
+        covs_p = np.zeros((cap, sc.N_COV), np.uint16)
+        keys_p[: uk.shape[0]] = uk
+        covs_p[: uc.shape[0]] = uc
+        table = sc.KmerTable(
+            keys=jnp.asarray(keys_p), covs=jnp.asarray(covs_p),
+            n=jnp.asarray(np.int32(uk.shape[0])),
+        )
+    else:
+        table, n_reads = count_reads_to_table(
+            read_batches(), k, max_len, init_capacity=init_cap
+        )
+        table = shrink_table(table, k)
     if progress:
         log.info(
             "count pass: %d reads -> %d kmers (%.1fs)",
@@ -490,11 +591,18 @@ def run_pregraph(
     if progress:
         log.info("edges: %d directed (%.1fs)", eg.n_edges, time.time() - t0)
 
-    arcs, marker, paths = build_arcs(
-        read_batches(),
-        eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
-        record_paths=record_paths,
-    )
+    if mesh is not None:
+        arcs, marker, paths = build_arcs_sharded(
+            read_batches(),
+            eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k, mesh,
+            record_paths=record_paths,
+        )
+    else:
+        arcs, marker, paths = build_arcs(
+            read_batches(),
+            eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
+            record_paths=record_paths,
+        )
     if progress:
         log.info(
             "arc pass: %d preArcs (%.1fs)", int(arcs.n), time.time() - t0

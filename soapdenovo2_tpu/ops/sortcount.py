@@ -523,9 +523,11 @@ def searchsorted_kmers(table_keys, queries):
     """
     c = table_keys.shape[0]
     steps = max(1, (c - 1).bit_length())
-    qshape = queries.shape[:-1]
-    lo = jnp.zeros(qshape, jnp.int32)
-    hi = jnp.full(qshape, c, jnp.int32)
+    # derive the carry init from the queries so its "varying" status under
+    # shard_map matches the loop body's output (XLA folds the &0 away)
+    vzero = (queries[..., 0] & jnp.uint32(0)).astype(jnp.int32)
+    lo = vzero
+    hi = vzero + jnp.int32(c)
 
     def body(_, state):
         lo, hi = state
@@ -547,6 +549,8 @@ def lookup_kmers(table_keys, queries):
     binary search over the sorted key array.
     """
     c = table_keys.shape[0]
+    if c == 0:
+        return jnp.full(queries.shape[:-1], -1, jnp.int32)
     idx = searchsorted_kmers(table_keys, queries)
     safe = jnp.minimum(idx, c - 1)
     found = kops.lex_eq(table_keys[safe], queries)

@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Auto-sharding off by default in tests: the 8 virtual devices exist for
+# the EXPLICIT sharding tests; everything else checks single-chip
+# semantics (and runs far faster on this 2-vCPU host).
+os.environ.setdefault("SD2TPU_AUTO_MESH", "0")
 
 import jax
 
