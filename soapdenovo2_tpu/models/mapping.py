@@ -110,13 +110,21 @@ def build_contig_index(contig_seqs: List[str], k: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len):
+@functools.partial(jax.jit, static_argnames=("k", "align_len", "half_rule"))
+def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
+               align_len: int = ALIGN_LEN, half_rule: bool = False):
     """Vectorized parse1read over a read batch.
 
     Returns (ctg (B,), position (B,), mapped (B,), multi_ctg (B,)):
     directed contig id, 0-based read-start position on it, mapped flag,
     and the 'hits multiple contigs' flag feeding *.readInGap.
+
+    ``align_len`` is the per-library ALIGNLEN (lib map_len clamped to
+    >=35 for long-insert libs / >=32 otherwise, prlRead2Ctg.c:907-916);
+    ``half_rule`` applies the long-insert per-read floor
+    ``ALIGNLEN >= len/2 + 1`` (prlRead2Ctg.c:925).  Like the reference,
+    the threshold counts k-mer hits anywhere in the read — ALIGNLEN only
+    sizes the required hit count (parse1read:270-271).
     """
     out = kops.extract_kmers(codes, lengths, k)
     idx = sc.lookup_kmers(keys, out["words"])  # (B, P)
@@ -141,8 +149,12 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len):
         ]
         == 1
     )  # hit at p is the first occurrence of its contig
-    # multi threshold: all k-mers of the first min(len,60) bases must match
-    alen = jnp.minimum(lengths, ALIGN_LEN)
+    # multi threshold from the per-library ALIGNLEN (see docstring)
+    if half_rule:
+        eff = jnp.maximum(jnp.int32(align_len), lengths // 2 + 1)
+    else:
+        eff = jnp.int32(align_len)
+    alen = jnp.minimum(lengths, eff)
     multi = jnp.maximum(alen - k + 1, 2)  # (B,)
     score = jnp.where(first_occ & (count >= multi[:, None]), count, 0)
     best_p = jnp.argmax(score, axis=1)  # first max
@@ -213,12 +225,22 @@ def map_reads(
     gap_pool: Optional[GapReads] = None,
     insert_size: int = 0,
     mapper=None,
+    align_len: int = ALIGN_LEN,
+    half_rule: bool = False,
+    long_pool: Optional[GapReads] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Map a read stream; returns (read_id, ctg, pos, gap_read_ids, n).
 
     When ``gap_pool`` is given, reads that did not place uniquely but
     whose PE mate did are collected (with the mate as anchor) for gap
     filling — pairs are adjacent (even, odd) rows within a batch.
+
+    When ``long_pool`` is given the stream is treated as LONG reads
+    (prlLongRead2Ctg, prlRead2Ctg.c:1080): every mapped read that also
+    hits a second contig (the reference's ``footprint``,
+    parse1read:335-338) joins the gap pool anchored at its OWN placement
+    with the token insert 18 (prlRead2Ctg.c:1206) — the read lies across
+    a contig boundary, i.e. across a scaffold gap.
     """
     rid_list, ctg_list, pos_list, gap_list = [], [], [], []
     keys = jnp.asarray(index.keys)
@@ -241,6 +263,14 @@ def map_reads(
         ctg_list.append(ctg[sel])
         pos_list.append(position[sel])
         gap_list.append(ids[multi_np])
+        if long_pool is not None:
+            for i in np.nonzero(mapped_np & multi_np)[0]:
+                long_pool.seqs.append(
+                    batch.codes[i, : batch.lengths[i]].tobytes()
+                )
+                long_pool.anchor_ctg.append(int(ctg[i]))
+                long_pool.anchor_pos.append(int(position[i]))
+                long_pool.insert_size.append(18)
         if gap_pool is not None and batch.start_id % 2 == 0:
             half = batch.n // 2
             m = mapped_np[: 2 * half].reshape(half, 2)
@@ -268,11 +298,13 @@ def map_reads(
         if mapper is not None:
             # multi-chip: batch sharded over the mesh, index replicated
             # (parallel/shard_streams.ShardedMapper)
-            dev = mapper.map_batch(batch.codes, batch.lengths)
+            dev = mapper.map_batch(batch.codes, batch.lengths,
+                                   align_len=align_len, half_rule=half_rule)
         else:
             dev = _map_batch(
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
                 keys, cid, pos_a, flip, clen,
+                align_len=align_len, half_rule=half_rule,
             )
         if in_flight is not None:
             consume(*in_flight)
@@ -292,6 +324,18 @@ def map_reads(
     if progress:
         log.info("map: %d/%d reads mapped", read_id.size, n_reads)
     return read_id, ctg_arr, pos_arr, gaps, n_reads
+
+
+def _scan_max_read_len(lib, cap: int = 2048) -> int:
+    """Longest read length in a library (the reference's
+    getMaxLongReadLen file pre-scan), capped at ``cap``."""
+    best = 0
+    for seq in rio.iter_lib_reads(lib):
+        if len(seq) > best:
+            best = min(len(seq), cap)
+            if best >= cap:
+                break
+    return best
 
 
 def run_map(cfg, contig_seqs: List[str], k: int,
@@ -323,6 +367,9 @@ def run_map(cfg, contig_seqs: List[str], k: int,
     from ..io import native_reads
 
     for lib in sorted(cfg.libs_for_scaff(), key=lambda l: l.avg_ins):
+        # per-library ALIGNLEN clamp (prlRead2Ctg.c:907-916,925)
+        long_ins = lib.avg_ins > 1000
+        align = max(lib.map_len, 35 if long_ins else 32)
         rid, ctg, pos, gaps, n_lib = map_reads(
             native_reads.batch_reads_lib(
                 lib, batch_size, cfg.max_rd_len, start_id=next_id,
@@ -331,6 +378,7 @@ def run_map(cfg, contig_seqs: List[str], k: int,
             index, progress=progress,
             gap_pool=gap_pool, insert_size=lib.avg_ins,
             mapper=mapper,
+            align_len=align, half_rule=long_ins,
         )
         next_id += n_lib
         grads.append(
@@ -345,6 +393,28 @@ def run_map(cfg, contig_seqs: List[str], k: int,
         all_ctg.append(ctg)
         all_pos.append(pos)
         all_gap.append(gaps)
+    # long-read libraries (asm_flags=4): gap-closure only — the
+    # prlLongRead2Ctg pass (prlRead2Ctg.c:1080).  Mapped reads spanning
+    # >=2 contigs enter the gap pool anchored at their own placement.
+    for lib in cfg.libs_for_gap():
+        long_len = _scan_max_read_len(lib, cap=2048)
+        if long_len <= 0:
+            continue
+        n_before = len(gap_pool)
+        map_reads(
+            native_reads.batch_reads_lib(
+                lib, batch_size, max(cfg.max_rd_len, long_len),
+            ),
+            index, progress=False,
+            mapper=None,  # long batches have their own shapes
+            align_len=max(lib.map_len, 35),  # prlRead2Ctg.c:1201-1202
+            long_pool=gap_pool,
+        )
+        if progress:
+            log.info(
+                "long reads (asm_flags=4, len<=%d): %d gap reads",
+                long_len, len(gap_pool) - n_before,
+            )
     return MapResult(
         read_id=np.concatenate(all_rid) if all_rid else np.zeros((0,), np.int64),
         ctg=np.concatenate(all_ctg) if all_ctg else np.zeros((0,), np.int32),

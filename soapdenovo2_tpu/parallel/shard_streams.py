@@ -378,22 +378,32 @@ class ShardedMapper:
             dp(index.keys), dp(index.cid), dp(index.pos),
             dp(index.flip.astype(np.int8)), dp(index.ctg_len),
         )
+        self._fn_cache = {}
+
+    def _fn(self, align_len: int, half_rule: bool):
+        key = (align_len, half_rule)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
         from ..models import mapping as mp
         k = self.k
 
         def per_shard(codes, lengths, keys, cid, pos, flip, clen):
             return mp._map_batch.__wrapped__(
-                codes, lengths, k, keys, cid, pos, flip, clen
+                codes, lengths, k, keys, cid, pos, flip, clen,
+                align_len=align_len, half_rule=half_rule,
             )
 
-        self._fn = jax.jit(jax.shard_map(
+        fn = jax.jit(jax.shard_map(
             per_shard,
-            mesh=mesh,
+            mesh=self.mesh,
             in_specs=(P(AXIS, None), P(AXIS)) + (P(),) * 5,
             out_specs=(P(AXIS),) * 4,
         ))
+        self._fn_cache[key] = fn
+        return fn
 
-    def map_batch(self, codes: np.ndarray, lengths: np.ndarray):
+    def map_batch(self, codes: np.ndarray, lengths: np.ndarray,
+                  align_len: int = 60, half_rule: bool = False):
         """Returns (ctg, position, mapped, multi_ctg) device arrays,
         batch-sharded; rows past the original B (mesh padding) are
         unmapped."""
@@ -408,4 +418,4 @@ class ShardedMapper:
             )
         codes_d = jax.device_put(jnp.asarray(codes), self._sh2)
         lengths_d = jax.device_put(jnp.asarray(lengths), self._sh1)
-        return self._fn(codes_d, lengths_d, *self._idx)
+        return self._fn(align_len, half_rule)(codes_d, lengths_d, *self._idx)
