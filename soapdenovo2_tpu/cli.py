@@ -88,6 +88,25 @@ def _scaff_args(p: argparse.ArgumentParser) -> None:
                    help="SNP-bubble coverage cutoff relative to the "
                         "average contig coverage (scaffold.c -B, "
                         "removeBubbleCtg); 0 disables")
+    p.add_argument("-S", dest="gapfill_only", action="store_true",
+                   help="scaffold structure exists: resume at gap "
+                        "filling only, from *.scaf_gap "
+                        "(scaffold.c:161-164 -S)")
+    p.add_argument("-w", dest="keep_weak", action="store_true",
+                   help="keep contigs weakly connected to the scaffold "
+                        "(scaffold.c -w, score_mask=0)")
+    p.add_argument("-c", dest="cvg_low", type=float, default=0.1,
+                   help="minContigCvg factor: short contigs below "
+                        "c*avgCvg are masked (scaffold.c -c)")
+    p.add_argument("-C", dest="cvg_high", type=float, default=2.0,
+                   help="maxContigCvg factor: contigs above C*avgCvg "
+                        "are masked (scaffold.c -C)")
+    p.add_argument("-b", dest="ins_var_idx", type=float, default=1.5,
+                   help="insert-size upper-bound factor for long-insert "
+                        "link sliding (scaffold.c -b); <=1 disables")
+    p.add_argument("-N", dest="genome_size", type=int, default=0,
+                   help="known genome size for statistics "
+                        "(scaffold.c -N)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -113,6 +132,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="accepted for compatibility (auto-sized tables)")
     sp.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)
     sp.add_argument("-e", dest="edge_cov_cutoff", type=int, default=1)
+    sp.add_argument("-r", dest="run_mode", type=int, default=0,
+                    choices=range(5),
+                    help="runMode (pregraph_sparse.cpp:706): 0 build all, "
+                         "1 load *.ht_idx graph & build edges+preArcs, "
+                         "2 build+checkpoint graph only, 3 edges only, "
+                         "4 preArcs only")
     sp.add_argument("-p", dest="ncpu", type=int, default=8)
     sp.add_argument("--batch", dest="batch_size", type=int, default=16384)
     fus = sub.add_parser(
@@ -241,6 +266,35 @@ def _check_files_for_scaff(prefix: str, compat: bool = False) -> None:
         )
 
 
+def _cmd_scaff_gapfill_only(args, compat: bool) -> None:
+    """scaff -S (scaffold.c:161-164): the scaffold structure already
+    exists on disk — skip link building and ordering, reload the layout
+    from *.scaf_gap and run ONLY gap filling + statistics."""
+    from .io import files as fio
+    from .models import checkpoint as ck
+    from .models import gapfill
+    from .models import scaffold as sf
+    from .utils import simulate as sim_utils
+
+    contigs = ck.load_contigs(args.prefix)
+    scaffolds = fio.read_scaf_gap(args.prefix)
+    gap_reads = fio.read_read_in_gap(args.prefix, compat=compat)
+    if args.fill_gaps and len(gap_reads):
+        seqs, gap_seqs, _ = gapfill.fill_gaps(scaffolds, contigs, gap_reads)
+    else:
+        seqs = [sf.scaffold_sequence(s, contigs) for s in scaffolds]
+        gap_seqs = []
+    fio.write_scaf_seq(args.prefix, seqs)
+    fio.write_fasta_generic(
+        args.prefix + ".gapSeq",
+        ((f"gap{i + 1}", s) for i, s in enumerate(gap_seqs)),
+    )
+    stats = sim_utils.assembly_stats(seqs)
+    contig_stats = sim_utils.assembly_stats(contigs)
+    fio.write_scaf_statistics(args.prefix, contig_stats, stats)
+    log.info("scaff -S (gap fill only): %s", stats)
+
+
 def cmd_scaff(args) -> None:
     from .io import files as fio
     from .models import checkpoint as ck
@@ -249,6 +303,9 @@ def cmd_scaff(args) -> None:
     from .utils import simulate as sim_utils
 
     compat = getattr(args, "compat", False)
+    if getattr(args, "gapfill_only", False):
+        _cmd_scaff_gapfill_only(args, compat)
+        return
     _check_files_for_scaff(args.prefix, compat)
     contigs = ck.load_contigs(args.prefix)
     rid, ctg, pos = fio.read_read_on_contig(args.prefix, compat=compat)
@@ -274,6 +331,10 @@ def cmd_scaff(args) -> None:
         unmask=getattr(args, "unmask", False),
         gap_len_diff=getattr(args, "gap_len_diff", 50),
         cvg4snp=cvg4snp,
+        cvg_low=getattr(args, "cvg_low", 0.1),
+        cvg_high=getattr(args, "cvg_high", 2.0),
+        ins_var_idx=getattr(args, "ins_var_idx", 1.5),
+        score_mask=not getattr(args, "keep_weak", False),
     )
     if cvg4snp > 0:
         # *.bubbleInScaff: FASTA of each collapsed SNP-bubble contig pair
@@ -309,6 +370,13 @@ def cmd_scaff(args) -> None:
             args.prefix, rid, ctg, pos, sres.scaffolds, ctg_len
         )
     contig_stats = sim_utils.assembly_stats(contigs)
+    gsize = getattr(args, "genome_size", 0)
+    if gsize:
+        # -N (scaffold.c -N): report assembly/genome ratio in ScafStat
+        sres.stats["genome_size"] = gsize
+        sres.stats["genome_coverage"] = round(
+            sres.stats.get("total", 0) / gsize, 4
+        )
     fio.write_scaf_statistics(args.prefix, contig_stats, sres.stats)
     log.info("scaff: %s", sres.stats)
 
@@ -339,6 +407,7 @@ def cmd_sparse_pregraph(args) -> None:
         node_cov_cutoff=args.kmer_freq_cutoff,
         edge_cov_cutoff=args.edge_cov_cutoff,
         batch_size=args.batch_size,
+        run_mode=getattr(args, "run_mode", 0),
     )
 
 

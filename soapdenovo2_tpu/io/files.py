@@ -309,6 +309,51 @@ def write_new_contig_index(prefix: str, ctg_len, cvg=None) -> None:
             fh.write(f"{new_id}\t{t + 1}\t{int(ctg_len[2 * t])}\t{c:.1f}\n")
 
 
+def read_scaf_gap(prefix: str):
+    """Rebuild scaffold structures from *.scaf_gap — the seam that lets
+    ``scaff -S`` resume at gap filling only (scaffold.c:161-164: with -S
+    the reference skips PE2Links/Links2Scaf/scaffolding and goes straight
+    to prlReadsCloseGap on the saved layout).
+
+    Returns a list of Scaffold objects (directed contig ids + gaps)."""
+    from ..models.scaffold import Scaffold
+
+    scaffolds = []
+    ctgs: list = []
+    rows: list = []  # (acc, length)
+
+    def commit():
+        if not ctgs:
+            return
+        gaps = []
+        for j in range(len(ctgs) - 1):
+            acc, ln = rows[j]
+            nxt_acc, _ = rows[j + 1]
+            d = int(nxt_acc - (acc + ln))
+            # negative coordinate delta = exact spliced junction
+            # (gap_span inverse); deltas >= 1 are open gap estimates
+            gaps.append(splice_gap(-d) if d < 0 else d)
+        scaffolds.append(Scaffold(list(ctgs), gaps))
+
+    with open(prefix + ".scaf_gap") as fh:
+        for line in fh:
+            if line.startswith(">"):
+                commit()
+                ctgs, rows = [], []
+                continue
+            t = line.split()
+            if len(t) < 4:
+                continue
+            cid = int(t[0]) - 1
+            acc = int(t[1])
+            orient = t[2]
+            ln = int(t[3])
+            ctgs.append(2 * cid + (1 if orient == "-" else 0))
+            rows.append((acc, ln))
+    commit()
+    return scaffolds
+
+
 def write_scaf_gap(prefix: str, scaffolds, ctg_len, arc_fills) -> None:
     """*.scaf_gap (scaffolding, orderContig.c:4591): like *.scaf but gap
     contigs placed by arc routes are marked with a trailing GAP flag."""
@@ -331,8 +376,10 @@ def write_scaf_gap(prefix: str, scaffolds, ctg_len, arc_fills) -> None:
                 )
                 acc += int(ctg_len[c])
                 if j < len(sc.gaps):
-                    gg = int(sc.gaps[j])
-                    acc += gg if gg < 0 else max(gg, 1)
+                    # gap_span: >=1 for open/estimated gaps, negative
+                    # exact overlap for spliced junctions (raw splice
+                    # encodings must never leak into coordinates)
+                    acc += gap_span(sc.gaps[j])
 
 
 def read_contigs(path: str) -> List[Tuple[int, str]]:

@@ -95,7 +95,10 @@ def count_reads_to_table(
             capacity = _next_pow2((table_n + ln) * 2)
             table = sc.grow_table(table, capacity)
         table = sc.merge_sorted_tables(table, l1, capacity)
-        table_n += ln
+        # EXACT live count (second scalar readback per flush): the
+        # ln-sum upper bound overcounts cross-flush duplicates, inflating
+        # capacity (and every merge's working set) by 2-4x on real data
+        table_n = int(table.n)
         pending = []
         pending_rows = 0
 
@@ -253,8 +256,12 @@ def _reduce_raw_arcs(raws, capacity: int) -> ArcAccumulator:
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _merge_sorted_arcs(a: ArcAccumulator, b: ArcAccumulator,
                        capacity: int) -> ArcAccumulator:
-    """log-stage bitonic merge of two SORTED arc tables + reduce
-    (mirrors sortcount.merge_sorted_tables)."""
+    """log-stage bitonic merge of two SORTED arc tables + pairwise fold.
+
+    Each input has unique (from, to) keys, so a key appears at most twice
+    after the merge — fold the duplicate neighbour instead of running the
+    general segment reduction (same working-set argument as
+    sortcount.merge_sorted_tables)."""
     from ..ops import bitonic
 
     ops = bitonic.merge_sorted_ops(
@@ -262,14 +269,34 @@ def _merge_sorted_arcs(a: ArcAccumulator, b: ArcAccumulator,
         (b.keys[:, 0], b.keys[:, 1], b.mult.astype(jnp.uint32)),
         num_keys=2,
     )
-    sk = jnp.stack(ops[:2], axis=-1)
-    mult = jnp.where(
-        sc._is_sentinel(sk), 0, ops[2].astype(jnp.int32)
+    k0, k1, m = ops
+    n = k0.shape[0]
+    live = ~((k0 == jnp.uint32(0xFFFFFFFF)) & (k1 == jnp.uint32(0xFFFFFFFF)))
+    m = jnp.where(live, m, 0)
+    idx = jnp.arange(n)
+    same_next = (
+        (k0 == jnp.roll(k0, -1)) & (k1 == jnp.roll(k1, -1))
+        & live & (idx < n - 1)
     )
-    ukeys, sums, n_live = sc.reduce_sorted_groups_shift(
-        sk, mult[:, None], capacity, exact_max=None
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), same_next[:-1]])
+    s = jnp.where(same_next, m + jnp.roll(m, -1), m)
+    head = live & ~same_prev
+    packed, n_live = bitonic.compact_by_shifts(head, (k0, k1, s))
+    take = min(capacity, n)
+    uk0, uk1, um = (p[:take] for p in packed)
+    if capacity > n:
+        pad = capacity - n
+        uk0 = jnp.concatenate([uk0, jnp.zeros((pad,), jnp.uint32)])
+        uk1 = jnp.concatenate([uk1, jnp.zeros((pad,), jnp.uint32)])
+        um = jnp.concatenate([um, jnp.zeros((pad,), jnp.uint32)])
+    live_out = jnp.arange(capacity) < n_live
+    ukeys = jnp.stack(
+        [jnp.where(live_out, uk0, jnp.uint32(0xFFFFFFFF)),
+         jnp.where(live_out, uk1, jnp.uint32(0xFFFFFFFF))], axis=-1
     )
-    return ArcAccumulator(keys=ukeys, mult=sums[:, 0], n=n_live)
+    mult = jnp.where(live_out, um, 0).astype(jnp.int32)
+    return ArcAccumulator(keys=ukeys, mult=mult,
+                          n=n_live.astype(jnp.int32))
 
 
 jax.tree_util.register_dataclass(
@@ -372,7 +399,7 @@ def build_arcs(
         if n_bound + ln > capacity:
             capacity = _next_pow2((n_bound + ln) * 2)
         arcs = _merge_sorted_arcs(arcs.grow_to(capacity), l1, capacity)
-        n_bound += ln
+        n_bound = int(arcs.n)  # exact live count, see count-pass note
         pending = []
         pending_rows = 0
 

@@ -165,7 +165,9 @@ class Scaffolder:
                  min_ctg_len: int = 0, mask_high_cvg: bool = True,
                  cvg4snp: float = 0.0,
                  contig_seqs: Optional[List[str]] = None, k: int = 0,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 cvg_low: float = 0.1, cvg_high: float = 2.0,
+                 ins_var_idx: float = 1.5, score_mask: bool = True):
         self.n_dir = ctg_len.shape[0]
         self.ctg_len = ctg_len
         self.chains: List[Scaffold] = []
@@ -173,15 +175,37 @@ class Scaffolder:
         self.cvg_dir = (
             np.asarray(cvg, np.float64) if cvg is not None else None
         )
+        self.ins_var_idx = ins_var_idx
+        self.score_mask = score_mask
         mean_cvg = 0.0
         if self.cvg_dir is not None and self.cvg_dir.size and (
             self.cvg_dir > 0
         ).any():
             mean_cvg = float(np.median(self.cvg_dir[self.cvg_dir > 0]))
             if mask_high_cvg:
-                # maskRepeatByArc/cvg analog: contigs with > 2x mean
-                # coverage are repeat-masked (loadGraph.c:269 cvg_high)
-                self.mask |= self.cvg_dir > 2.0 * mean_cvg
+                # exact reference coverage masking (loadGraph.c:400-460):
+                # cvgAvg = max(mean cvg, 3); -c/-C set the low/high factors
+                cv = self.cvg_dir
+                counted = cv > 0
+                cvg_avg = max(float(cv[counted].mean()), 3.0)
+                high1 = cvg_high * cvg_avg
+                high2 = 0.8 * high1
+                low = cvg_low * cvg_avg
+                short_cut = 100 if (2 * k + 2) < 100 else 0
+                twin = np.arange(self.n_dir) ^ 1
+                cvt = cv[twin]
+                m = (cv + cvt) > 2 * high1
+                if short_cut:
+                    short = ctg_len < short_cut
+                    m |= short & (
+                        (cv > high2) | (cvt > high2)
+                        | ((cv < low) & (cvt < low))
+                    )
+                # 6-bit saturation guard (loadGraph.c:447): at low genome
+                # coverage a cvg pegged at 63 means a saturated repeat
+                if cvg_avg < 50:
+                    m |= (cv >= 63) | (cvt >= 63)
+                self.mask |= m | m[twin]
         if min_ctg_len:
             self.mask |= ctg_len < min_ctg_len
         # scaff -B: SNP-bubble coverage cutoff, relative to the average
@@ -286,6 +310,11 @@ class Scaffolder:
         ch1 = cid[c1]
         ch2 = cid[c2]
         ok = (ch1 >= 0) & (ch2 >= 0) & (ch1 != ch2)
+        if insert_size > 1000 and self.ins_var_idx > 0:
+            # -b: a slide farther than ins_var_idx * insert is unreliable
+            # (downSlide, orderContig.c:477/568)
+            slide = tail[c1] + off[c2]
+            ok &= slide <= self.ins_var_idx * insert_size
         ch1, ch2 = ch1[ok], ch2[ok]
         o1 = flip[c1[ok]]
         o2 = flip[c2[ok]]
@@ -759,16 +788,19 @@ class Scaffolder:
     # -- detectBreakScaff (orderContig.c:9141) ------------------------------
     def detect_break_scaff(self, links: LinkTable, insert_size: int,
                            weak_pe: int) -> int:
-        """Break chain junctions with no spanning support from the current
-        long-insert rank.  Only chains at least one insert long are
-        checked, and only junctions narrow enough that a pair could span
-        them (the reference requires avg long-PE coverage >= 10 before
-        trusting absence of evidence; we require the chain to carry some
-        current-rank support)."""
+        """Break the WEAKEST junction of a chain when long-insert support
+        singles it out (detectBreakScaff, orderContig.c:9141-9330):
+
+        A chain qualifies only when it is at least one insert long AND the
+        average spanning support over its junctions is >= 10 (avgPE,
+        orderContig.c:9216-9220 — low coverage means absence of evidence
+        proves nothing).  Among interior junctions (>= one insert of
+        sequence on both sides), the one with minimum support breaks iff
+        its support <= 2 or <= avgPE/5 (orderContig.c:9284).  At most one
+        break per chain per rank, like the reference."""
         span_w: Dict[Tuple[int, int], int] = {}
         for a, b, w in zip(links.c1, links.c2, links.weight):
-            if w >= weak_pe:
-                span_w[(int(a), int(b))] = span_w.get((int(a), int(b)), 0) + int(w)
+            span_w[(int(a), int(b))] = span_w.get((int(a), int(b)), 0) + int(w)
         if not span_w:
             return 0
         new_chains: List[Scaffold] = []
@@ -792,38 +824,36 @@ class Scaffolder:
                 continue
             idx = {c: j for j, c in enumerate(sc.ctgs)}
             support = np.zeros((m - 1,), np.int64)
-            rank_hits = 0
             for (a, b), w in span_w.items():
                 ja = idx.get(a)
                 jb = idx.get(b)
                 if ja is None or jb is None or ja >= jb:
                     continue
-                rank_hits += 1
                 support[ja:jb] += w
-            if rank_hits == 0:
-                new_chains.append(sc)  # no evidence about this chain at all
-                continue
-            # break only junctions a pair could span: flanking sequence
-            # within one insert on both sides
-            cut = []
-            for j in range(m - 1):
-                junction = start[j] + int(self.ctg_len[sc.ctgs[j]])
-                if support[j] > 0:
-                    continue
-                if junction < insert_size // 2 or total - junction < insert_size // 2:
-                    continue  # too close to an end to demand spanning pairs
-                cut.append(j)
-            if not cut:
+            avg_pe = float(support.mean())
+            if avg_pe < 10:
                 new_chains.append(sc)
                 continue
-            n_broken += len(cut)
-            prev = 0
-            for j in cut:
-                new_chains.append(
-                    Scaffold(sc.ctgs[prev : j + 1], sc.gaps[prev:j])
-                )
-                prev = j + 1
-            new_chains.append(Scaffold(sc.ctgs[prev:], sc.gaps[prev:]))
+            # weakest interior junction (one insert of flank on each side)
+            weak_j = -1
+            weak_w = None
+            for j in range(m - 1):
+                junction = start[j] + int(self.ctg_len[sc.ctgs[j]])
+                if junction < insert_size or total - junction < insert_size:
+                    continue
+                if weak_w is None or support[j] < weak_w:
+                    weak_w = int(support[j])
+                    weak_j = j
+            if weak_j < 0 or (weak_w > 2 and weak_w > avg_pe / 5):
+                new_chains.append(sc)
+                continue
+            n_broken += 1
+            new_chains.append(
+                Scaffold(sc.ctgs[: weak_j + 1], sc.gaps[:weak_j])
+            )
+            new_chains.append(
+                Scaffold(sc.ctgs[weak_j + 1 :], sc.gaps[weak_j + 1 :])
+            )
         self.chains = new_chains
         self.n_breaks += n_broken
         return n_broken
@@ -1067,6 +1097,10 @@ def run_scaff(
     unmask: bool = False,
     gap_len_diff: int = 50,
     cvg4snp: float = 0.0,
+    cvg_low: float = 0.1,
+    cvg_high: float = 2.0,
+    ins_var_idx: float = 1.5,
+    score_mask: bool = True,
 ) -> ScaffResult:
     n = len(contig_seqs)
     ctg_len = np.zeros((2 * n,), np.int64)
@@ -1078,7 +1112,9 @@ def run_scaff(
     # -u (scaffold.c:149): keep high-coverage contigs unmasked
     sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=min_ctg_len,
                     mask_high_cvg=not unmask, cvg4snp=cvg4snp,
-                    contig_seqs=contig_seqs, k=k)
+                    contig_seqs=contig_seqs, k=k,
+                    cvg_low=cvg_low, cvg_high=cvg_high,
+                    ins_var_idx=ins_var_idx, score_mask=score_mask)
     if mask_repeat_arc and ctg_arcs:
         n_arc_masked = sc.mask_repeat_by_arc(ctg_arcs)
         if n_arc_masked and progress:
@@ -1113,7 +1149,9 @@ def run_scaff(
             int(sum(p[2] for p in pend_links) / len(pend_links)),
         )
         pooled = _concat_links([p[0] for p in pend_links])
-        if ins_max > 1000:
+        # -w (score_mask=0, scaffold.c:172): keep weakly connected
+        # contigs — skip weak-junction breaking
+        if ins_max > 1000 and sc.score_mask:
             n_broken = sc.detect_break_scaff(pooled, ins_max, weak_pe)
             if n_broken and progress:
                 log.info("detectBreakScaff: %d junction(s) broken", n_broken)

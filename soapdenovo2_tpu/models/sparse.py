@@ -259,6 +259,45 @@ def prune_sparse(g: SparseGraph, node_cov_cutoff: int = 1,
     return g2
 
 
+def save_sparse_graph(g: SparseGraph, prefix: str) -> None:
+    """Checkpoint the built (unpruned) sparse graph to *.ht_idx (nodes)
+    and *.ht_content (kmer-edges) — the role of SavingSparseKmerGraph2
+    (build_graph.cpp:645), written right after the build like the
+    reference (before pruning)."""
+    with open(prefix + ".ht_idx", "wb") as fh:
+        np.savez(fh, k=np.int64(g.k), gap=np.int64(g.gap),
+                 node_words=g.node_words, node_cov=g.node_cov)
+    if g.edges:
+        rows = np.array(
+            [(s, o, l, b0, b1, c)
+             for (s, o, l, b0, b1), c in g.edges.items()],
+            np.int64,
+        )
+    else:
+        rows = np.zeros((0, 6), np.int64)
+    with open(prefix + ".ht_content", "wb") as fh:
+        np.save(fh, rows)
+
+
+def load_sparse_graph(prefix: str) -> SparseGraph:
+    """Reload a *.ht_idx/*.ht_content checkpoint
+    (LoadingSparseKmerGraph2, build_graph.cpp:728)."""
+    with open(prefix + ".ht_idx", "rb") as fh:
+        z = np.load(fh)
+        k = int(z["k"])
+        gap = int(z["gap"])
+        node_words = z["node_words"]
+        node_cov = z["node_cov"]
+    with open(prefix + ".ht_content", "rb") as fh:
+        rows = np.load(fh)
+    edges = {
+        (int(s), int(o), int(l), int(b0), int(b1)): int(c)
+        for s, o, l, b0, b1, c in rows
+    }
+    return SparseGraph(k=k, gap=gap, node_words=node_words,
+                       node_cov=node_cov, edges=edges)
+
+
 def run_sparse_pregraph(
     cfg: AssemblyConfig,
     k: int,
@@ -268,6 +307,7 @@ def run_sparse_pregraph(
     edge_cov_cutoff: int = 1,
     batch_size: int = 4096,
     progress: bool = True,
+    run_mode: int = 0,
 ) -> List[Tuple[str, float]]:
     """Sparse pregraph driver: reads -> sampled graph -> unitigs.
 
@@ -275,6 +315,13 @@ def run_sparse_pregraph(
     graph's unitig walk subsumes the dense path's pregraph+contig
     contraction; graph-cleaning refinements on the sparse graph itself are
     pruning-based, see prune_sparse).  Continue with map + scaff.
+
+    ``run_mode`` mirrors sparse_pregraph -r (pregraph_sparse.cpp:642-672):
+      0 = build graph (checkpointing it) + edges + preArcs
+      1 = load the *.ht_idx/*.ht_content checkpoint + edges + preArcs
+      2 = build + checkpoint the graph only
+      3 = load checkpoint, write edge-side files only
+      4 = load checkpoint, write preArcs only
     """
     from ..io import files as fio
 
@@ -282,23 +329,37 @@ def run_sparse_pregraph(
         for lib in cfg.libs_for_contig():
             yield from rio.iter_lib_reads(lib)
 
-    g = build_sparse_graph(
-        rio.batch_reads(stream(), batch_size, cfg.max_rd_len), k, gap
-    )
-    if progress:
-        log.info(
-            "sparse graph: %d nodes (1/%d sampling), %d raw edges",
-            g.node_words.shape[0], g.gap, len(g.edges),
+    if run_mode in (0, 2):
+        g = build_sparse_graph(
+            rio.batch_reads(stream(), batch_size, cfg.max_rd_len), k, gap
         )
+        if progress:
+            log.info(
+                "sparse graph: %d nodes (1/%d sampling), %d raw edges",
+                g.node_words.shape[0], g.gap, len(g.edges),
+            )
+        save_sparse_graph(g, prefix)
+        if run_mode == 2:
+            return []
+    else:
+        g = load_sparse_graph(prefix)
+        if progress:
+            log.info(
+                "sparse graph loaded from %s.ht_idx: %d nodes, %d edges",
+                prefix, g.node_words.shape[0], len(g.edges),
+            )
     g = prune_sparse(g, node_cov_cutoff, edge_cov_cutoff)
     n_tips = remove_sparse_tips(g)
     if n_tips and progress:
         log.info("sparse tips: %d node(s) clipped", n_tips)
     # standard stage files so `contig -g prefix` runs on sparse output
     # (the reference flow: sparse_pregraph -> contig -> map -> scaff)
-    n_rec = write_sparse_pregraph_files(g, prefix, cfg.max_rd_len)
+    only = {0: "all", 1: "all", 3: "edges", 4: "prearcs"}[run_mode]
+    n_rec = write_sparse_pregraph_files(g, prefix, cfg.max_rd_len, only=only)
     if progress:
         log.info("sparse pregraph files: %d edge record(s)", n_rec)
+    if run_mode == 4:
+        return []
     unitigs = sparse_to_unitigs(g)
     unitigs = [(s, c) for s, c in unitigs if len(s) >= k + 2]
     unitigs.sort(key=lambda x: (-len(x[0]), x[0]))
@@ -501,7 +562,7 @@ def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
 
 
 def write_sparse_pregraph_files(
-    g: SparseGraph, prefix: str, max_rd_len: int,
+    g: SparseGraph, prefix: str, max_rd_len: int, only: str = "all",
 ) -> int:
     """Emit standard pregraph stage files from the sparse graph
     (convert_soapdenovo.cpp:248 + build_preArc.cpp roles): *.edge.gz,
@@ -560,16 +621,20 @@ def write_sparse_pregraph_files(
             yield (len(ch.seq) - g.k, ch.seq,
                    min(int(round(ch.cov * 10)), 16000), bal)
 
-    n_rec = fio.write_edges(prefix, g.k, records())
-    vset = sorted(
-        {ch.start[0] for ch in chains} | {ch.end[0] for ch in chains}
-    )
-    if vset:
-        vkeys = g.node_words[np.asarray(vset, np.int64)]
-    else:
-        vkeys = np.zeros((0, g.node_words.shape[1]), np.uint32)
-    n_vertex = fio.write_vertex(prefix, vkeys, g.k)
-    fio.write_pre_graph_basic(prefix, n_vertex, g.k, fid - 1, max_rd_len)
+    n_rec = 0
+    if only in ("all", "edges"):
+        n_rec = fio.write_edges(prefix, g.k, records())
+        vset = sorted(
+            {ch.start[0] for ch in chains} | {ch.end[0] for ch in chains}
+        )
+        if vset:
+            vkeys = g.node_words[np.asarray(vset, np.int64)]
+        else:
+            vkeys = np.zeros((0, g.node_words.shape[1]), np.uint32)
+        n_vertex = fio.write_vertex(prefix, vkeys, g.k)
+        fio.write_pre_graph_basic(prefix, n_vertex, g.k, fid - 1, max_rd_len)
+    if only == "edges":
+        return n_rec
 
     starts: Dict[Tuple[int, int], List[int]] = {}
     for i, ch in enumerate(chains):

@@ -299,15 +299,40 @@ def reduce_raws(raws, capacity: int) -> KmerTable:
     return KmerTable(keys=ukeys, covs=covs, n=n_live)
 
 
+def _sat_add_packed(a0, a1, b0, b1):
+    """Per-lane saturating add of two packed cov words (4x6b+8b / 4x6b).
+
+    Saturating (clamped) addition of non-negatives is associative, so
+    folding packed rows pairwise gives the same value as any increment
+    order (the reference's capped unit increments, newhash.h:25)."""
+    m6 = jnp.uint32(63)
+    m8 = jnp.uint32(255)
+    o0 = jnp.zeros_like(a0)
+    for sh in (0, 6, 12, 18):
+        o0 |= jnp.minimum(((a0 >> sh) & m6) + ((b0 >> sh) & m6), m6) << sh
+    o0 |= jnp.minimum(((a0 >> 24) & m8) + ((b0 >> 24) & m8), m8) << 24
+    o1 = jnp.zeros_like(a1)
+    for sh in (0, 6, 12, 18):
+        o1 |= jnp.minimum(((a1 >> sh) & m6) + ((b1 >> sh) & m6), m6) << sh
+    return o0, o1
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def merge_sorted_tables(a: KmerTable, b: KmerTable,
                         capacity: int) -> KmerTable:
     """Merge two SORTED tables with a bitonic merge (log n stages) — not
-    a full re-sort — then reduce shared keys with saturating addition.
+    a full re-sort — then fold shared keys with saturating addition.
 
     This is the table side of the LSM flush: the running table is always
     sorted, so pushing it through the full O(n log^2 n) sort network
     every flush (the old merge_many path) wasted ~log(n)/2 x the work.
+
+    Each input table has UNIQUE keys, so a key appears at most twice in
+    the merged run — the reduce is a pairwise neighbour fold, not a
+    general segment reduction.  That keeps the compaction's carried state
+    at w+2 operands (the general path carries w+9 unpacked columns plus
+    their prefix sums, which at 2^27 rows exceeds HBM on a 16 GB chip —
+    the r1 5 Mb e2e OOM).
     """
     w = a.keys.shape[1]
     pa0, pa1 = _pack_covs(a.covs)
@@ -317,13 +342,41 @@ def merge_sorted_tables(a: KmerTable, b: KmerTable,
         tuple(b.keys[:, i] for i in range(w)) + (pb0, pb1),
         num_keys=w,
     )
-    sorted_words = jnp.stack(ops[:w], axis=-1)
-    cols = _unpack_covs(ops[w], ops[w + 1])
-    ukeys, sums, n_live = reduce_sorted_groups_shift(
-        sorted_words, cols, capacity, exact_max=255
+    kcols = ops[:w]
+    p0, p1 = ops[w], ops[w + 1]
+    n = p0.shape[0]
+    live = ~jnp.stack([kcols[i] == jnp.uint32(0xFFFFFFFF)
+                       for i in range(w)], axis=0).all(axis=0)
+    eq_next = jnp.ones((n,), bool)
+    for i in range(w):
+        eq_next &= kcols[i] == jnp.roll(kcols[i], -1)
+    idx = jnp.arange(n)
+    same_next = eq_next & live & (idx < n - 1)
+    same_prev = jnp.concatenate([jnp.zeros((1,), bool), same_next[:-1]])
+    f0, f1 = _sat_add_packed(p0, p1, jnp.roll(p0, -1), jnp.roll(p1, -1))
+    s0 = jnp.where(same_next, f0, p0)
+    s1 = jnp.where(same_next, f1, p1)
+    head = live & ~same_prev
+    packed, n_live = bitonic.compact_by_shifts(
+        head, kcols + (s0, s1)
     )
-    covs = jnp.minimum(sums, COV_CAPS[None, :]).astype(jnp.uint16)
-    return KmerTable(keys=ukeys, covs=covs, n=n_live)
+    take = min(capacity, n)
+    ukeys = jnp.stack([p[:take] for p in packed[:w]], axis=-1)
+    q0 = packed[w][:take]
+    q1 = packed[w + 1][:take]
+    if capacity > n:
+        pad = capacity - n
+        ukeys = jnp.concatenate(
+            [ukeys, jnp.zeros((pad, w), jnp.uint32)]
+        )
+        q0 = jnp.concatenate([q0, jnp.zeros((pad,), jnp.uint32)])
+        q1 = jnp.concatenate([q1, jnp.zeros((pad,), jnp.uint32)])
+    live_out = jnp.arange(capacity) < n_live
+    ukeys = jnp.where(live_out[:, None], ukeys, jnp.uint32(0xFFFFFFFF))
+    covs = jnp.where(
+        live_out[:, None], _unpack_covs(q0, q1), 0
+    ).astype(jnp.uint16)
+    return KmerTable(keys=ukeys, covs=covs, n=n_live.astype(jnp.int32))
 
 
 def grow_table(table: KmerTable, capacity: int) -> KmerTable:

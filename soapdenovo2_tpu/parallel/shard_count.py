@@ -340,7 +340,9 @@ class ShardedCountStream:
         mk, mc, mn = self._merge_fn(self.capacity)(tk, tc, lk, lc)
         self._table = (mk, mc, self.capacity)
         self._n = mn
-        self._n_bound += ln_max
+        # exact per-shard live max (the ln-sum bound overcounts
+        # cross-flush duplicates and inflates capacity)
+        self._n_bound = int(np.asarray(mn).max())
         self._pending = []
 
     def finish(self):

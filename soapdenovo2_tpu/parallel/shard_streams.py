@@ -182,20 +182,15 @@ class ShardedArcStream:
 
     @functools.lru_cache(maxsize=None)
     def _merge_fn(self, capacity: int):
-        from ..ops import bitonic
-
         def per_shard(tk, tm, lk, lm):
-            ops = bitonic.merge_sorted_ops(
-                (tk[:, 0], tk[:, 1], tm.astype(jnp.uint32)),
-                (lk[:, 0], lk[:, 1], lm.astype(jnp.uint32)),
-                num_keys=2,
-            )
-            sk = jnp.stack(ops[:2], axis=-1)
-            mult = jnp.where(sc._is_sentinel(sk), 0, ops[2].astype(jnp.int32))
-            uk, sums, n_live = sc.reduce_sorted_groups_shift(
-                sk, mult[:, None], capacity, exact_max=None
-            )
-            return uk, sums[:, 0], n_live[None]
+            from ..models import pregraph as pgm
+
+            a = pgm.ArcAccumulator(keys=tk, mult=tm,
+                                   n=jnp.zeros((), jnp.int32))
+            b = pgm.ArcAccumulator(keys=lk, mult=lm,
+                                   n=jnp.zeros((), jnp.int32))
+            m = pgm._merge_sorted_arcs.__wrapped__(a, b, capacity)
+            return m.keys, m.mult, m.n[None]
 
         fn = jax.jit(jax.shard_map(
             per_shard,
@@ -293,7 +288,7 @@ class ShardedArcStream:
         mk, mm, mn = self._merge_fn(self.capacity)(tk, tm, lk, lm)
         self._table = (mk, mm, self.capacity)
         self._n = mn
-        self._n_bound += ln_max
+        self._n_bound = int(np.asarray(mn).max())  # exact live max
         self._pending = []
         self._pending_drop = []
 

@@ -59,6 +59,49 @@ def test_sparse_cli_then_map_scaff(tmp_path):
     assert max(len(s) for s in scafs) >= 0.7 * len(gstr)
 
 
+def test_sparse_run_modes_checkpoint(tmp_path):
+    """-r 2 checkpoints the graph to *.ht_idx/*.ht_content; -r 1 resumes
+    from it and must reproduce the full-run outputs byte-identically
+    (pregraph_sparse.cpp:642-672 run modes, build_graph.cpp:645/728)."""
+    d = str(tmp_path)
+    cfgp, genome = sim.make_test_config(
+        d, genome_len=4000, read_len=100, insert_size=350, coverage=25.0,
+        seed=407,
+    )
+    full = os.path.join(d, "full")
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", full,
+              "-g", "10"])
+    # build + checkpoint only
+    split = os.path.join(d, "split")
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", split,
+              "-g", "10", "-r", "2"])
+    assert os.path.exists(split + ".ht_idx")
+    assert os.path.exists(split + ".ht_content")
+    assert not os.path.exists(split + ".contig")
+    # resume from the checkpoint (no read stream)
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", split,
+              "-g", "10", "-r", "1"])
+    for suffix in (".contig", ".edge.gz", ".vertex", ".preGraphBasic",
+                   ".preArc"):
+        assert os.path.exists(split + suffix), suffix
+    with open(full + ".contig") as fh:
+        a = fh.read()
+    with open(split + ".contig") as fh:
+        b = fh.read()
+    assert a == b
+    # -r 3 / -r 4 partial rebuilds from the checkpoint
+    part = os.path.join(d, "part")
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", part,
+              "-g", "10", "-r", "2"])
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", part,
+              "-g", "10", "-r", "3"])
+    assert os.path.exists(part + ".edge.gz")
+    assert not os.path.exists(part + ".preArc")
+    cli.main(["sparse_pregraph", "-s", cfgp, "-K", str(K), "-o", part,
+              "-g", "10", "-r", "4"])
+    assert os.path.exists(part + ".preArc")
+
+
 def test_sparse_pregraph_feeds_standard_contig_stage(tmp_path):
     # reference flow: sparse_pregraph emits *.edge.gz/*.vertex/*.preArc/
     # *.preGraphBasic (convert_soapdenovo.cpp) and the STANDARD contig
