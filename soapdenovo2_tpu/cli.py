@@ -219,7 +219,8 @@ def cmd_contig(args) -> None:
     paths = ck.load_paths(args.prefix) if args.resolve_repeats else None
     res = cm.run_contig_graph(
         g, merge_bubbles=args.merge_level > 0,
-        de_low_edge=args.edge_cov_cutoff, paths=paths,
+        de_low_edge=args.edge_cov_cutoff,
+        merge_level=args.merge_level, paths=paths,
     )
     n = ck.write_contigs(args.prefix, res.graph)
     with open(args.prefix + ".bubbleSNP", "w") as fh:

@@ -766,6 +766,357 @@ def bubble_pinch_paths(g: ContigGraph, similarity: float = 0.90,
 
 
 # ---------------------------------------------------------------------------
+# full tour-bus (bubble.c tourBus:2347)
+# ---------------------------------------------------------------------------
+
+
+def _nw_fast_slow(fast: np.ndarray, slow: np.ndarray):
+    """Global alignment of the fast/slow bubble sequences.
+
+    Scoring is the reference's (bubble.c compareSequences:519): match=1,
+    mismatch=0, indel=0.  With INDEL=0 each DP row is a prefix max, so the
+    row fills vectorized.  Returns (score, slow_to_fast) where
+    slow_to_fast[j] maps slow coordinate j onto the fast sequence via the
+    backtrace of mapSlowOntoFast (bubble.c:603), -1 for unmapped prefix.
+    """
+    la, lb = len(fast), len(slow)
+    F = np.zeros((la + 1, lb + 1), np.int32)
+    eq = (fast[:, None] == slow[None, :]).astype(np.int32)
+    for i in range(1, la + 1):
+        cand = np.maximum(F[i - 1, :-1] + eq[i - 1], F[i - 1, 1:])
+        np.maximum.accumulate(cand, out=cand)  # left moves carry 0 cost
+        F[i, 1:] = cand
+    s2f = np.full((lb + 1,), -1, np.int64)
+    s2f[lb] = la
+    i, j = la, lb
+    while i > 0 and j > 0:
+        if F[i, j] == F[i - 1, j - 1] + eq[i - 1, j - 1]:
+            i -= 1
+            j -= 1
+            s2f[j] = i
+        elif F[i, j] == F[i - 1, j]:
+            i -= 1
+        else:
+            j -= 1
+            s2f[j] = i - 1
+    return int(F[la, lb]), s2f
+
+
+def _tb_add_arc(g: ContigGraph, a: int, b: int, m: int) -> None:
+    """Add (or reinforce) arc a->b with its twin mirror kept equal
+    (bubble.c createAnalogousArc:1013)."""
+    w = g.arcs[a].get(b, 0) + m
+    g.arcs[a][b] = w
+    mb, ma = int(g.twin[b]), int(g.twin[a])
+    if (mb, ma) != (a, b):
+        g.arcs[mb][ma] = w
+
+
+def _tb_remap_path(g: ContigGraph, times: np.ndarray, prev: np.ndarray,
+                   plan, covs) -> None:
+    """Node-level cleanUpRedundancy (bubble.c:1862): remap every losing
+    (slow) node of a merged bubble onto the fast path and delete it.
+
+    ``plan``: {slow_node: (f_in, f_out)} — in-arcs land on the fast node
+    covering the slow node's mapped START, out-arcs on the one covering
+    its mapped END.  ``covs``: {slow_node: [(fast_node, overlap_len)]} —
+    coverage folds proportionally into every overlapped fast node
+    (combineCOV, bubble.c:1146).  Transition arcs between two remapped
+    slow nodes dissolve into the fast path (the reference's read-interval
+    remap absorbs them); arcs to everything else move with endpoint
+    substitution, so shared/repeat neighbours keep their connectivity.
+
+    Deviation vs the reference: the reference splits slow nodes at base
+    granularity and remaps read intervals (remapBackOfNodeOntoNeighbour);
+    here arcs move whole between the start-/end-covering fast nodes."""
+    twin = g.twin
+    # endpoint substitution: an arc ARRIVING at slow node s re-targets
+    # f_in(s); twins mirror with in/out swapped
+    sub_dst = {}
+    for s, (fi, fo) in plan.items():
+        sub_dst[s] = fi
+        sub_dst[int(twin[s])] = int(twin[fo])
+    for s, (f_in, f_out) in plan.items():
+        ts = int(twin[s])
+        tf_in = int(twin[f_in])
+        for f, ls in covs[s]:
+            lf = g.edge_len(f)
+            if ls >= 1 and lf >= 1:
+                cov = (ls * int(g.cvg10[s]) + lf * int(g.cvg10[f])) // lf
+                cov = min(cov, 16000)
+                g.cvg10[f] = cov
+                g.cvg10[int(twin[f])] = cov
+        if g.marker is not None:
+            g.marker[f_in] = min(255, int(g.marker[f_in]) + int(g.marker[s]))
+            g.marker[tf_in] = min(
+                255, int(g.marker[tf_in]) + int(g.marker[ts])
+            )
+        # SNP record for *.bubbleSNP / .bubbleInScaff (equal-length merge)
+        if len(g.seqs[s]) == len(g.seqs[f_in]):
+            snps = np.nonzero(g.seqs[s] != g.seqs[f_in])[0].tolist()
+        else:
+            snps = []
+        g.bubbles.append((int(f_in), int(s), 1.0, snps))
+        # traversal state: remapNodeTimesOntoTargetNode (bubble.c:951).
+        # Times transfer only for positionally equivalent nodes
+        # (reference case A, cleanUpRedundancy:1976) — when the slow node
+        # spans several fast nodes its previous-pointer would be a false
+        # shortcut past them.
+        for src, dst in ((s, f_out), (ts, tf_in)):
+            nt = times[src]
+            pn = int(prev[src])
+            if nt != -1.0 and f_in == f_out:
+                if pn == src:
+                    times[dst] = nt
+                    prev[dst] = dst
+                elif times[dst] == -1.0 or times[dst] > nt:
+                    times[dst] = nt
+                    prev[dst] = (
+                        pn if pn != int(twin[src]) else int(twin[dst])
+                    )
+            for nb in list(g.arcs[src].keys()):
+                if nb != dst and nb != src and prev[nb] == src:
+                    prev[nb] = dst
+            prev[src] = -1
+        # arc remap (remapNodeArcsOntoNeighbour, bubble.c:1099)
+        for src, dst in ((s, f_out), (ts, tf_in)):
+            for t, m in list(g.arcs[src].items()):
+                g.arcs[src].pop(t, None)
+                g.arcs[int(twin[t])].pop(int(twin[src]), None)
+                t2 = sub_dst.get(t, t)
+                if dst == t2 and t != src:
+                    continue  # intra-merge transition dissolves
+                _tb_add_arc(g, dst, t2, m)
+        g.deleted[s] = True
+        g.deleted[ts] = True
+
+
+def tour_bus(g: ContigGraph, similarity: float = 0.90, M: int = 1,
+             max_seq_len: int = 100) -> int:
+    """Full tour-bus bubble popping (bubble.c bubblePinch:2389).
+
+    Dijkstra from each eligible starting edge with arc time
+    len(origin)/multiplicity (tourBusArc:2204); when a settled node is
+    re-reached, the two converging paths are backtracked to their common
+    ancestor (comparePaths:2022, bounded by MAXNODELENGTH per side),
+    their interior sequences aligned with the reference's scoring
+    (match=1/mismatch=0/indel=0, reject on length diff > 2, score <
+    maxLength - DIFF, or 1 - score/maxLength > 1 - similarity), and the
+    slower path's nodes remapped onto the fast path
+    (cleanUpRedundancy:1862, node-granular — see _tb_remap_node).
+    Unlike the bounded path enumeration in bubble_pinch_paths, nested and
+    deep bubbles collapse because merged paths immediately rejoin the
+    ongoing traversal.  ``max_seq_len`` mirrors MAXREADLENGTH=100.
+    """
+    import heapq
+
+    E = g.n_edges
+    if M <= 1:
+        maxnode, diff = 3, 2
+    elif M == 2:
+        maxnode, diff = 9, 3
+    else:
+        maxnode, diff = 30, 10
+    cutoff = 1.0 - similarity
+    twin = g.twin
+    times = np.full(E, -1.0)
+    prev = np.full(E, -1, np.int64)
+    multi = np.zeros(E, bool)  # resetNodeStatus (bubble.c:189)
+    for e in range(E):
+        t = int(twin[e])
+        if t == e or t in g.arcs[e] or e in g.arcs[t]:
+            multi[e] = True
+            multi[t] = True
+    heap: list = []
+    in_heap = np.zeros(E, bool)
+    merged = 0
+    state = {"changed": False, "active": -1}
+
+    def is_previous_to(p: int, target: int) -> bool:
+        cur, last = target, -1
+        tt = times[target]
+        while cur >= 0:
+            if cur == p:
+                return True
+            if cur == last or times[cur] != tt:
+                return False
+            last = cur
+            cur = int(prev[cur])
+        return False
+
+    def interior(path):
+        nodes = path[1:-1]
+        starts, segs, pos = [], [], 0
+        for e in nodes:
+            starts.append(pos)
+            pos += g.edge_len(e)
+            segs.append(g.seqs[e][g.k:])
+        seq = np.concatenate(segs) if segs else np.zeros(0, np.uint8)
+        return nodes, starts, pos, seq
+
+    def compare_paths(dest: int, origin: int) -> None:
+        nonlocal merged
+        fast_n, slow_n = dest, origin
+        fl = sl = 0
+        while fast_n != slow_n:
+            if fast_n < 0 or slow_n < 0:
+                return
+            if times[fast_n] > times[slow_n]:
+                fl += 1
+                fast_n = int(prev[fast_n])
+            elif times[fast_n] < times[slow_n]:
+                sl += 1
+                slow_n = int(prev[slow_n])
+            elif is_previous_to(slow_n, fast_n):
+                while fast_n != slow_n:
+                    fl += 1
+                    fast_n = int(prev[fast_n])
+                    if fast_n < 0:
+                        return
+            elif is_previous_to(fast_n, slow_n):
+                while slow_n != fast_n:
+                    sl += 1
+                    slow_n = int(prev[slow_n])
+                    if slow_n < 0:
+                        return
+            else:
+                fl += 1
+                fast_n = int(prev[fast_n])
+                sl += 1
+                slow_n = int(prev[slow_n])
+            if fl > maxnode or sl > maxnode:
+                return
+        if fl == 0:
+            return
+        fast_path = [dest]
+        for _ in range(fl):
+            fast_path.append(int(prev[fast_path[-1]]))
+        fast_path.reverse()
+        slow_path = [dest, origin]
+        for _ in range(sl):
+            slow_path.append(int(prev[slow_path[-1]]))
+        slow_path.reverse()
+        if any(g.deleted[e] for e in fast_path + slow_path):
+            return  # path crosses a deleted edge (caseA)
+        fnodes, fstarts, flen_, fseq = interior(fast_path)
+        snodes, sstarts, slen_, sseq = interior(slow_path)
+        if not flen_ or not slen_ or max(flen_, slen_) > max_seq_len:
+            return
+        if abs(flen_ - slen_) > 2:  # caseB
+            return
+        if flen_ < g.k - 1 or slen_ < g.k - 1:  # caseE
+            return
+        score, s2f = _nw_fast_slow(fseq, sseq)
+        maxlen = max(flen_, slen_)
+        if score < maxlen - diff:  # caseC
+            return
+        if 1.0 - score / maxlen > cutoff:  # caseD
+            return
+        # merge: in-arcs of each private slow node remap onto the fast
+        # node covering its alignment-mapped start, out-arcs onto the one
+        # covering its mapped end, coverage folded across the overlap
+        fset = set(fnodes)
+        fends = fstarts[1:] + [flen_]
+
+        def covering(pos: int) -> int:
+            fi = 0
+            for j in range(len(fnodes)):
+                if fstarts[j] <= pos:
+                    fi = j
+            return fi
+
+        plan, covs = {}, {}
+        for si, s in enumerate(snodes):
+            if g.deleted[s] or s in fset or s in plan:
+                continue
+            mstart = max(0, int(s2f[min(sstarts[si], len(s2f) - 1)]))
+            send = sstarts[si] + g.edge_len(s)
+            mend = max(mstart, int(s2f[min(send, len(s2f) - 1)]))
+            fi_in = covering(mstart)
+            fi_out = covering(max(mend - 1, mstart))
+            f_in, f_out = fnodes[fi_in], fnodes[fi_out]
+            bad = False
+            for f in (f_in, f_out):
+                if g.deleted[f] or f == s or f == int(twin[s]):
+                    bad = True
+            if bad:
+                continue
+            plan[s] = (f_in, f_out)
+            covs[s] = [
+                (fnodes[j],
+                 min(mend, fends[j]) - max(mstart, fstarts[j]))
+                for j in range(fi_in, fi_out + 1)
+            ]
+            if state["active"] == s:
+                state["active"] = f_out
+        if plan:
+            _tb_remap_path(g, times, prev, plan, covs)
+            state["changed"] = True
+        merged += 1
+
+    def tour_bus_arc(origin: int, dest: int, mult_: int, otime: float):
+        if int(prev[dest]) == origin or multi[dest]:
+            return
+        arct = (g.edge_len(origin) / mult_) if mult_ > 0 else 0.0
+        total = otime + arct
+        dt = times[dest]
+        if dt == -1.0:
+            times[dest] = total
+            prev[dest] = origin
+            heapq.heappush(heap, (total, dest))
+            in_heap[dest] = True
+        elif dt > total:
+            if not in_heap[dest]:
+                return
+            old_prev = int(prev[dest])
+            times[dest] = total
+            prev[dest] = origin
+            heapq.heappush(heap, (total, dest))  # decrease-key, lazy dup
+            compare_paths(dest, old_prev)
+        else:
+            if dt == times[origin] and is_previous_to(dest, origin):
+                return
+            compare_paths(dest, origin)
+
+    for start in range(E):
+        if (g.deleted[start] or multi[start] or g.edge_len(start) < 1
+                or not g.arcs[start]):
+            continue
+        expanded: List[int] = []
+        times[start] = 0.0
+        prev[start] = start
+        cur = start
+        while cur >= 0:
+            in_heap[cur] = False
+            expanded.append(cur)
+            state["changed"] = False
+            state["active"] = cur
+            for to, m in list(g.arcs[cur].items()):
+                acur = state["active"]
+                if g.deleted[acur]:
+                    break
+                if state["changed"]:  # refetch after a merge (HasChanged)
+                    m2 = g.arcs[acur].get(to)
+                    if m2 is None:
+                        continue
+                    m = m2
+                if g.deleted[to]:
+                    continue
+                tour_bus_arc(acur, to, m, times[acur])
+            cur = -1
+            while heap:
+                _, node = heapq.heappop(heap)
+                if in_heap[node] and not g.deleted[node]:
+                    cur = node
+                    break
+        for e in expanded:
+            if e < E:
+                multi[e] = True
+                multi[int(twin[e])] = True
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # linearization
 # ---------------------------------------------------------------------------
 
@@ -968,11 +1319,13 @@ def run_contig(
     pre: pg.PregraphResult,
     merge_bubbles: bool = True,
     de_low_edge: int = 1,
+    merge_level: int = 1,
     progress: bool = True,
 ) -> ContigResult:
     return run_contig_graph(
         from_pregraph(pre), merge_bubbles=merge_bubbles,
-        de_low_edge=de_low_edge, paths=pre.paths, progress=progress,
+        de_low_edge=de_low_edge, merge_level=merge_level,
+        paths=pre.paths, progress=progress,
     )
 
 
@@ -980,21 +1333,30 @@ def run_contig_graph(
     g: ContigGraph,
     merge_bubbles: bool = True,
     de_low_edge: int = 1,
+    merge_level: int = 1,
     paths: Optional[List[np.ndarray]] = None,
     progress: bool = True,
 ) -> ContigResult:
-    """contig.c call_heavygraph:61 pipeline over a loaded edge graph."""
+    """contig.c call_heavygraph:61 pipeline over a loaded edge graph.
+
+    Reference phase order (contig.c:89-143): solveReps -> bubblePinch
+    (tour-bus, ends in linearConcatenate) -> removeWeakEdges ->
+    removeLowCovEdges -> cutTipsInGraph."""
     k = g.k
     n_reps = solve_reps(g, paths) if paths else 0
     if progress and paths:
         log.info("solveReps: %d repeat(s) split", n_reps)
-    n_weak = remove_weak_edges(g, 2 * k, 1)
-    n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0
     linear_concatenate(g)
     n_bub = 0
     if merge_bubbles:
-        # iterate pinch+linearize: cascaded/nested bubbles collapse into
-        # simple ones after each linearization (tour-bus convergence)
+        for _ in range(3):
+            n = tour_bus(g, M=max(merge_level, 1))
+            linear_concatenate(g)
+            n_bub += n
+            if n == 0:
+                break
+        # parallel-path bubbles longer than the reference's 100 bp
+        # tour-bus window (MAXREADLENGTH), scored on the device kernel
         for _ in range(5):
             n = bubble_pinch(g)
             linear_concatenate(g)
@@ -1003,6 +1365,9 @@ def run_contig_graph(
             n_bub += n
             if n == 0:
                 break
+    n_weak = remove_weak_edges(g, 2 * k, 1)
+    n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0
+    linear_concatenate(g)
     n_tip = cut_tips_in_graph(g)
     linear_concatenate(g)
     contigs = contig_sequences(g)
