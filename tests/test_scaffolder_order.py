@@ -77,12 +77,24 @@ def test_detect_break_scaff_breaks_unsupported_junction():
     ctg_len = np.full((8,), 1500, np.int64)
     sc = Scaffolder(ctg_len)
     sc.chains = [Scaffold([0, 2, 4, 6], [10, 10, 10])]
-    # long-insert rank supports junctions 0 and 2 only
-    links = _links([(0, 2, 8, 10), (4, 6, 8, 10)])
+    # well-covered chain (avgPE >= 10) with one unsupported junction
+    links = _links([(0, 2, 25, 8), (4, 6, 25, 8), (2, 4, 2, 8)])
     n = sc.detect_break_scaff(links, insert_size=2000, weak_pe=5)
     assert n == 1
     chains = sorted(_norm(c) for c in sc.result())
     assert chains == [(0, 2), (4, 6)]
+
+
+def test_detect_break_scaff_low_coverage_no_break():
+    """avgPE < 10 means absence of spanning support proves nothing
+    (orderContig.c:9216) — the chain stays whole."""
+    ctg_len = np.full((8,), 1500, np.int64)
+    sc = Scaffolder(ctg_len)
+    sc.chains = [Scaffold([0, 2, 4, 6], [10, 10, 10])]
+    links = _links([(0, 2, 8, 10), (4, 6, 8, 10)])
+    n = sc.detect_break_scaff(links, insert_size=2000, weak_pe=5)
+    assert n == 0
+    assert len(sc.result()) == 1
 
 
 def test_detect_break_scaff_keeps_supported_chain():

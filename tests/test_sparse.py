@@ -37,6 +37,7 @@ def test_sparse_graph_unitigs():
     assert best in gstr or revcomp_str(best) in gstr
 
 
+@pytest.mark.slow
 def test_sparse_cli_then_map_scaff(tmp_path):
     d = str(tmp_path)
     cfgp, genome = sim.make_test_config(
@@ -59,6 +60,7 @@ def test_sparse_cli_then_map_scaff(tmp_path):
     assert max(len(s) for s in scafs) >= 0.7 * len(gstr)
 
 
+@pytest.mark.slow
 def test_sparse_run_modes_checkpoint(tmp_path):
     """-r 2 checkpoints the graph to *.ht_idx/*.ht_content; -r 1 resumes
     from it and must reproduce the full-run outputs byte-identically
