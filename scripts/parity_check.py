@@ -22,28 +22,39 @@ REF_SRC = "/root/reference"
 REF_BUILD = "/tmp/refbuild_parity"
 
 
-def build_reference() -> str:
-    """Build SOAPdenovo-63mer out-of-tree; returns binary path."""
-    binary = os.path.join(REF_BUILD, "SOAPdenovo-63mer")
+def build_reference(mer: int = 63) -> str:
+    """Build SOAPdenovo-{63,127}mer out-of-tree; returns binary path.
+    Each mer variant builds in its own tree (object files differ)."""
+    name = f"SOAPdenovo-{mer}mer"
+    build_dir = REF_BUILD if mer == 63 else f"{REF_BUILD}_{mer}"
+    binary = os.path.join(build_dir, name)
     if os.path.exists(binary):
         return binary
-    if os.path.exists("/tmp/refbuild/SOAPdenovo-63mer"):
-        return "/tmp/refbuild/SOAPdenovo-63mer"
-    shutil.copytree(REF_SRC, REF_BUILD, dirs_exist_ok=True)
+    if os.path.exists(f"/tmp/refbuild/{name}"):
+        return f"/tmp/refbuild/{name}"
+    shutil.copytree(REF_SRC, build_dir, dirs_exist_ok=True)
     subprocess.run(
         [
-            "make", "SOAPdenovo-63mer",
-            "CFLAGS=-O3 -fcommon -w -m64 -DMER63 -D_63MER_",
+            "make", name,
+            f"CFLAGS=-O3 -fcommon -w -m64 -DMER{mer} -D_{mer}MER_",
             "EXTRA_FLAGS=-Wl,--hash-style=both -no-pie",
         ],
-        cwd=REF_BUILD, check=True, capture_output=True, timeout=900,
+        cwd=build_dir, check=True, capture_output=True, timeout=900,
     )
     return binary
 
 
 def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
                coverage: float = 35.0, error_rate: float = 0.005,
-               seed: int = 123) -> dict:
+               seed: int = 123, read_len: int = 100, mer: int = 63,
+               ref_extra=(), tpu_extra=(), sparse: bool = False) -> dict:
+    """Assemble the same simulated reads with the reference binary and
+    this framework; returns contig/scaffold stats + genome-matched bases.
+
+    ``ref_extra``/``tpu_extra``: extra CLI args appended to each `all`
+    invocation (e.g. ("-m", "43") for multi-k, ("-R",) for solveReps).
+    ``sparse=True`` runs both sides through their sparse_pregraph stage
+    drivers instead of `all` (pregraph_sparse.cpp driver vs ours)."""
     from soapdenovo2_tpu import cli
     from soapdenovo2_tpu.io import files as fio
     from soapdenovo2_tpu.utils import simulate as sim
@@ -51,19 +62,41 @@ def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
 
     os.makedirs(workdir, exist_ok=True)
     cfgp, genome = sim.make_test_config(
-        workdir, genome_len=genome_len, read_len=100, insert_size=350,
+        workdir, genome_len=genome_len, read_len=read_len, insert_size=350,
         coverage=coverage, error_rate=error_rate, seed=seed,
     )
     gstr = genome.decode()
 
-    binary = build_reference()
+    binary = build_reference(mer)
     ref_prefix = os.path.join(workdir, "ref_asm")
-    subprocess.run(
-        [binary, "all", "-s", cfgp, "-K", str(k), "-o", ref_prefix, "-p", "4"],
-        check=True, capture_output=True, timeout=600, cwd=workdir,
-    )
     tpu_prefix = os.path.join(workdir, "tpu_asm")
-    cli.main(["all", "-s", cfgp, "-K", str(k), "-o", tpu_prefix, "-d", "1"])
+    if sparse:
+        z = str(genome_len * 2)
+        for stage in (
+            ["sparse_pregraph", "-s", cfgp, "-K", str(k), "-z", z, "-g", "15",
+             "-o", ref_prefix, "-p", "4"],
+            ["contig", "-g", ref_prefix],
+            ["map", "-s", cfgp, "-g", ref_prefix, "-p", "4"],
+            ["scaff", "-g", ref_prefix, "-F"],
+        ):
+            subprocess.run([binary] + stage, check=True, capture_output=True,
+                           timeout=600, cwd=workdir)
+        for stage in (
+            ["sparse_pregraph", "-s", cfgp, "-K", str(k), "-z", z, "-g", "15",
+             "-o", tpu_prefix],
+            ["contig", "-g", tpu_prefix],
+            ["map", "-s", cfgp, "-g", tpu_prefix],
+            ["scaff", "-g", tpu_prefix, "-F"],
+        ):
+            cli.main(stage)
+    else:
+        subprocess.run(
+            [binary, "all", "-s", cfgp, "-K", str(k), "-o", ref_prefix,
+             "-p", "4", *ref_extra],
+            check=True, capture_output=True, timeout=600, cwd=workdir,
+        )
+        cli.main(["all", "-s", cfgp, "-K", str(k), "-o", tpu_prefix,
+                  "-d", "1", *tpu_extra])
 
     comp = str.maketrans("ACGTN", "TGCAN")
 

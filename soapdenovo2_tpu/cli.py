@@ -44,6 +44,9 @@ def _contig_args(p: argparse.ArgumentParser) -> None:
                    help="merge level for bubbles (0 = off)")
     p.add_argument("-D", dest="edge_cov_cutoff", type=int, default=1,
                    help="delete edges with coverage <= this")
+    p.add_argument("-e", dest="arc_filter", type=int, default=0,
+                   help="do not linearize through arcs with weight <= this"
+                        " (concatenateEdge.c arcfilter)")
     p.add_argument("-R", dest="resolve_repeats", action="store_true")
     p.add_argument("-m", dest="max_k", type=int, default=0,
                    help="max k for multi-k iteration (requires -s)")
@@ -164,6 +167,7 @@ def build_parser() -> argparse.ArgumentParser:
     _common_pregraph_args(allp)
     allp.add_argument("-M", dest="merge_level", type=int, default=1)
     allp.add_argument("-D", dest="edge_cov_cutoff", type=int, default=1)
+    allp.add_argument("-e", dest="arc_filter", type=int, default=0)
     allp.add_argument("-m", dest="max_k", type=int, default=0,
                       help="max k for multi-k iteration")
     allp.add_argument("-F", dest="fill_gaps", action="store_true")
@@ -220,7 +224,8 @@ def cmd_contig(args) -> None:
     res = cm.run_contig_graph(
         g, merge_bubbles=args.merge_level > 0,
         de_low_edge=args.edge_cov_cutoff,
-        merge_level=args.merge_level, paths=paths,
+        merge_level=args.merge_level,
+        arc_filter=getattr(args, "arc_filter", 0), paths=paths,
     )
     n = ck.write_contigs(args.prefix, res.graph)
     with open(args.prefix + ".bubbleSNP", "w") as fh:

@@ -1121,9 +1121,12 @@ def tour_bus(g: ContigGraph, similarity: float = 0.90, M: int = 1,
 # ---------------------------------------------------------------------------
 
 
-def linear_concatenate(g: ContigGraph) -> int:
+def linear_concatenate(g: ContigGraph, arc_filter: int = 0) -> int:
     """concatenateEdge.c linearConcatenate:264 — merge unique-successor
     chains.  Returns number of merges (chain members − 1 per chain).
+
+    ``arc_filter`` (contig -e, concatenateEdge.c:317): links whose arc
+    multiplicity is <= arc_filter are not merged through.
 
     Chains are PLANNED vectorized (the functional graph of mergeable
     links is a partial injection, so it decomposes into simple chains and
@@ -1145,6 +1148,8 @@ def linear_concatenate(g: ContigGraph) -> int:
         & ~g.deleted[tsafe]
         & (view.out_deg[twin[tsafe]] == 1)  # unique in-arc of successor
     )
+    if arc_filter > 0:
+        ok &= view.out_m > arc_filter  # out_m == the mult when out_deg==1
     # sanity: sequences must overlap by k (shared junction k-mer)
     for e in np.nonzero(ok)[0]:
         nxt = int(succ[e])
@@ -1334,6 +1339,7 @@ def run_contig_graph(
     merge_bubbles: bool = True,
     de_low_edge: int = 1,
     merge_level: int = 1,
+    arc_filter: int = 0,
     paths: Optional[List[np.ndarray]] = None,
     progress: bool = True,
 ) -> ContigResult:
@@ -1367,9 +1373,9 @@ def run_contig_graph(
                 break
     n_weak = remove_weak_edges(g, 2 * k, 1)
     n_low = remove_low_cov_edges(g, 2 * k, de_low_edge) if de_low_edge else 0
-    linear_concatenate(g)
+    linear_concatenate(g, arc_filter)
     n_tip = cut_tips_in_graph(g)
-    linear_concatenate(g)
+    linear_concatenate(g, arc_filter)
     contigs = contig_sequences(g)
     stats = sim_utils.assembly_stats([s for _, s, _ in contigs])
     stats.update(

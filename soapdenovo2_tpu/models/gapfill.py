@@ -163,9 +163,14 @@ def fill_gaps(
             parts.append(sf._dir_ctg_seq(int(c), contig_seqs))
             if j < len(sc.gaps):
                 if sf.is_splice(sc.gaps[j]):
-                    # arc-spliced junction: exact k-1 overlap, no gap here
+                    # arc-spliced junction: exact k-base overlap, no gap
+                    # here; verify the claimed junction before splicing
                     right = sf._dir_ctg_seq(int(sc.ctgs[j + 1]), contig_seqs)
-                    parts.append(right[sf.splice_overlap(sc.gaps[j]):])
+                    ov = sf.splice_overlap(sc.gaps[j])
+                    if ov <= len(right) and parts[-1].endswith(right[:ov]):
+                        parts.append(right[ov:])
+                    else:
+                        parts.append("N" + right)
                     parts.append("\0")  # marker: skip next piece
                     continue
                 gap_est = max(int(sc.gaps[j]), 1)

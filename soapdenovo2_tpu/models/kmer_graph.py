@@ -225,16 +225,12 @@ def _clip_tips_once(g: PreGraph, k: int, thin: bool):
     # first (k-1) bases are the previous k-mer's last (k-1), so the previous
     # k-mer's FIRST base is not recoverable from out_node alone; recover it
     # from the tail state directly below.
-    tail_rank = chain_len - 1
-    # tail state: the state in the chain with rank == len-1.  Scatter ranks:
-    tail_of_head = jnp.full((2 * c,), -1, jnp.int32)
-    sidx = jnp.arange(2 * c, dtype=jnp.int32)
-    is_tail = labels.on_chain & (labels.rank == labels.length[labels.head] - 1)
-    tail_of_head = tail_of_head.at[
-        jnp.where(is_tail, labels.head, 2 * c)
-    ].set(sidx, mode="drop")
+    # tail state of a head's chain by PURE GATHER: the flip-mirror of a
+    # chain [h..t] is the chain [t^1..h^1], so tail(h) = head[h^1] ^ 1.
+    # (The former scatter of an iota as updates made XLA materialize a
+    # padded s32[S,1] iota copy — 16 GB at 33M states.)
     tail_state = jnp.where(
-        on_chain, tail_of_head[head_safe], idx * 2 + orient
+        on_chain, labels.head[head_safe ^ 1] ^ 1, idx * 2 + orient
     )  # if no chain, the 'previous' node is the tip start itself
     tail_safe = jnp.maximum(tail_state, 0)
     prev_kmer = oriented_kmer(g.keys, tail_safe >> 1, tail_safe & 1, k)

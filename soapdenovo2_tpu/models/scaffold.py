@@ -896,14 +896,19 @@ class Scaffolder:
         (traceAlongArc, searchPath.c:182, called from scaffolding
         orderContig.c:4972/5067): for each junction (A, B) with estimated
         gap g, search arc paths A -> x1 .. xm -> B through masked or
-        unplaced contigs whose realized gap  sum(len(xi)) - (m+1)(k-1)
+        unplaced contigs whose realized gap  sum(len(xi)) - (m+1)k
         is within ``gap_len_diff`` of g (the reference's -G).  A unique
         in-window route is committed: intermediates are spliced into the
-        chain with exact -(k-1) overlaps, giving gap-free sequence.
+        chain with exact -k overlaps, giving gap-free sequence.
+
+        Arc-adjacent contigs share a full k-mer junction (the vertex
+        between consecutive edges; linear_concatenate merges on the same
+        k-base overlap) — k-1 here inserted one extra base per spliced
+        junction.
 
         Returns [(chain_idx, junction_idx, [placed directed contigs])].
         """
-        ov = k - 1
+        ov = k
         placed_global: set = set()
         in_chain = {c >> 1 for sc in self.chains if len(sc.ctgs) > 1
                     for c in sc.ctgs}
@@ -1217,7 +1222,13 @@ def scaffold_sequence(sc: Scaffold, contig_seqs: List[str]) -> str:
         g = int(sc.gaps[j - 1])
         nxt = _dir_ctg_seq(int(sc.ctgs[j]), contig_seqs)
         if is_splice(g):
-            out += nxt[splice_overlap(g):]  # exact k-1 overlap junction
+            ov = splice_overlap(g)
+            # splices claim an exact junction — verify it rather than
+            # silently emitting chimeric sequence
+            if ov <= len(nxt) and out.endswith(nxt[:ov]):
+                out += nxt[ov:]
+            else:
+                out += "N" + nxt
         else:
             out += "N" * max(g, 1) + nxt
     return out

@@ -53,15 +53,17 @@ def _doubling_steps(s: int) -> int:
 
 
 def _jump(ptr, val, steps: int, reduce):
-    """Pointer doubling carrying one value; ONE packed gather per step."""
-    packed = jnp.stack([ptr, val], axis=1)  # (S, 2)
+    """Pointer doubling carrying one value: two flat (S,) gathers per
+    step.  A packed (S, 2) row gather halves the random accesses but
+    forces an (8, 128)-tiled layout whose minor-dim padding is 64x —
+    at 33M states XLA materialized a 16 GB padded iota copy and ran out
+    of HBM; flat s32 vectors stay in (1024,)-tiled layout."""
 
-    def body(_, pk):
-        tgt = pk[pk[:, 0]]  # single (S, 2) row gather
-        return jnp.stack([tgt[:, 0], reduce(pk[:, 1], tgt[:, 1])], axis=1)
+    def body(_, pv):
+        p, v = pv
+        return p[p], reduce(v, v[p])
 
-    packed = jax.lax.fori_loop(0, steps, body, packed)
-    return packed[:, 0], packed[:, 1]
+    return jax.lax.fori_loop(0, steps, body, (ptr, val))
 
 
 @functools.partial(jax.jit, static_argnames=("with_cycles",))

@@ -1,8 +1,12 @@
-"""Golden parity vs the reference binary (slow; run with -m slow).
+"""Golden parity vs the reference binaries.
 
-Builds SOAPdenovo-63mer out-of-tree, assembles the same simulated reads
-with both implementations, and requires scaffold-N50 and genome-matched
-bases at or above the reference (SURVEY.md section 4 test strategy)."""
+Builds SOAPdenovo-{63,127}mer out-of-tree (cached in /tmp across runs),
+assembles the same simulated reads with both implementations, and
+compares scaffold N50 / genome-matched bases (SURVEY.md section 4 test
+strategy).  The small 63-mer golden runs in the DEFAULT suite; the
+multi-k (-m), 127-mer, solveReps (-R) and sparse-mode goldens are
+``-m slow``.
+"""
 
 import os
 import shutil
@@ -13,8 +17,6 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-pytestmark = pytest.mark.slow
-
 
 def _toolchain_ok():
     return shutil.which("g++") and shutil.which("make") and os.path.isdir(
@@ -22,12 +24,79 @@ def _toolchain_ok():
     )
 
 
-@pytest.mark.skipif(not _toolchain_ok(), reason="no toolchain/reference")
-def test_golden_parity(tmp_path):
+needs_ref = pytest.mark.skipif(
+    not _toolchain_ok(), reason="no toolchain/reference"
+)
+
+
+def _assert_parity(res, n50_ratio=0.98, matched_ratio=0.98):
+    ref, tpu = res["ref"], res["tpu"]
+    assert tpu["scaffold"]["N50"] >= n50_ratio * ref["scaffold"]["N50"]
+    assert tpu["matched"] >= matched_ratio * ref["matched"]
+    assert tpu["mismatched"] <= max(ref["mismatched"], 100)
+
+
+@needs_ref
+def test_golden_parity_small(tmp_path):
+    """Default-suite golden: 20 kb, K=23, reference binary cached."""
     from parity_check import run_parity
 
-    res = run_parity(str(tmp_path), genome_len=30_000, k=23)
-    ref, tpu = res["ref"], res["tpu"]
-    assert tpu["scaffold"]["N50"] >= 0.9 * ref["scaffold"]["N50"]
-    assert tpu["matched"] >= 0.95 * ref["matched"]
-    assert tpu["mismatched"] <= max(ref["mismatched"], 200)
+    res = run_parity(str(tmp_path), genome_len=20_000, k=23)
+    _assert_parity(res)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_parity_50k(tmp_path):
+    from parity_check import run_parity
+
+    res = run_parity(str(tmp_path), genome_len=50_000, k=23)
+    _assert_parity(res)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_multik(tmp_path):
+    """contig -m multi-k iteration vs the reference Iterate (iterate.c:2640)."""
+    from parity_check import run_parity
+
+    res = run_parity(
+        str(tmp_path), genome_len=30_000, k=23,
+        ref_extra=("-m", "43"), tpu_extra=("-m", "43"),
+    )
+    _assert_parity(res)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_solvereps(tmp_path):
+    """-R read-path repeat resolution on both sides."""
+    from parity_check import run_parity
+
+    res = run_parity(
+        str(tmp_path), genome_len=30_000, k=23,
+        ref_extra=("-R",), tpu_extra=("-R",),
+    )
+    _assert_parity(res)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_127mer(tmp_path):
+    """Wide k (>63) against the reference 127mer build."""
+    from parity_check import run_parity
+
+    res = run_parity(
+        str(tmp_path), genome_len=30_000, k=91, read_len=150, mer=127,
+    )
+    _assert_parity(res)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_sparse(tmp_path):
+    """sparse_pregraph driver vs the reference sparse build."""
+    from parity_check import run_parity
+
+    res = run_parity(str(tmp_path), genome_len=30_000, k=23, sparse=True)
+    _assert_parity(res)

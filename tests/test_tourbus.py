@@ -182,3 +182,20 @@ def test_dissimilar_paths_not_merged(rng):
     )
     assert cm.tour_bus(g) == 0
     assert not g.deleted[2] and not g.deleted[4]
+
+
+def test_arc_filter_blocks_weak_linearization(rng):
+    """contig -e (concatenateEdge.c:317): links with arc weight <= e are
+    not merged through."""
+    g = build_graph(
+        [pay(rng, 10), pay(rng, 10), pay(rng, 10)],
+        [(0, 2, 1), (2, 4, 5)],
+    )
+    g2 = build_graph(
+        [pay(rng, 10), pay(rng, 10), pay(rng, 10)],
+        [(0, 2, 1), (2, 4, 5)],
+    )
+    assert cm.linear_concatenate(g) == 2  # no filter: full chain merges
+    assert cm.linear_concatenate(g2, arc_filter=1) == 1  # weak link kept
+    assert live_undirected(g) == 1
+    assert live_undirected(g2) == 2
