@@ -375,6 +375,9 @@ def cmd_scaff(args) -> None:
         fio.write_read_on_scaf(
             args.prefix, rid, ctg, pos, sres.scaffolds, ctg_len
         )
+        fio.write_amos_asm(
+            args.prefix, sres.scaffolds, sres.seqs, contigs, ctg_len
+        )
     contig_stats = sim_utils.assembly_stats(contigs)
     gsize = getattr(args, "genome_size", 0)
     if gsize:

@@ -652,3 +652,56 @@ def read_fasta(path: str) -> List[Tuple[str, str]]:
     if name is not None:
         out.append((name, "".join(parts)))
     return out
+
+
+def write_amos_asm(prefix: str, scaffolds, seqs, contig_seqs, ctg_len) -> None:
+    """*.asm + *.contig4asm — AMOS/Hawkeye visualization dump
+    (prlReadFillGap.c:1745-1752, outputScafSeq:826 fo3/foc2 writers).
+
+    Per scaffold: an {AFG} read stub per placed contig, one {CCO} contig
+    message whose consensus is the scaffold sequence (qlt all 'D' like
+    the reference) with an {MPS} tiling entry per placed contig
+    (positions swapped for reverse placements), and a trailing {SCF}
+    record per scaffold (prlReadFillGap.c:1928).  *.contig4asm holds the
+    placed pieces as FASTA in placement orientation.  Gap-consensus
+    pieces (``<gapNum>-0`` lowercase records) are not emitted — gap
+    sequence already appears in the consensus."""
+    def wrap(s, w=60):
+        return "\n".join(s[i : i + w] for i in range(0, len(s), w))
+
+    comp = str.maketrans("ACGTN", "TGCAN")
+    with open(prefix + ".asm", "w") as fa, open(
+        prefix + ".contig4asm", "w"
+    ) as fc:
+        for si, (sc, seq) in enumerate(zip(scaffolds, seqs)):
+            pieces = []  # (name, start, end, oriented piece seq)
+            acc = 0
+            for j, c in enumerate(sc.ctgs):
+                cid = (c >> 1) + 1
+                s = contig_seqs[c >> 1]
+                if c & 1:
+                    s = s.translate(comp)[::-1]
+                pieces.append((str(cid), acc, acc + len(s), s, bool(c & 1)))
+                acc += int(ctg_len[c])
+                if j < len(sc.gaps):
+                    acc += gap_span(sc.gaps[j])
+            for name, a, b, s, rev in pieces:
+                fa.write(f"{{AFG\nacc:{name}\nclr:0,{len(s)}\n}}\n")
+                fc.write(f">{name}\n{wrap(s)}\n")
+            fa.write(
+                f"{{CCO\nacc:{si + 1}\npla:P\nlen:{len(seq)}\ncns:\n"
+                f"{wrap(seq)}\n.\nqlt:\n{wrap('D' * len(seq))}\n.\n"
+                f"npc:{len(pieces)}\n"
+            )
+            for name, a, b, s, rev in pieces:
+                p0, p1 = (b, a) if rev else (a, b)
+                fa.write(
+                    f"{{MPS\ntyp:R\nmid:{name}\nsrc:\n.\npos:{p0},{p1}\n"
+                    "dln:0\ndel:\n}\n"
+                )
+            fa.write("}\n")
+        for si in range(len(scaffolds)):
+            fa.write(
+                f"{{SCF\nacc:{si + 1}\nnoc:0\n{{CTP\nct1:{si + 1}\n"
+                f"ct2:{si + 1}\nmea:0\nstd:0\nori:N\n}}\n}}\n"
+            )

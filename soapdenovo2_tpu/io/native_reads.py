@@ -25,8 +25,10 @@ _CHUNK = 4 << 20
 class _FileDecoder:
     """Incremental record decoder over one fastx file (plain or gzip)."""
 
-    def __init__(self, path: str, clip: int, rc: bool, lib):
+    def __init__(self, path: str, clip: int, rc: bool, lib,
+                 chunk: int = _CHUNK):
         self._lib = lib
+        self.chunk = chunk
         self.fh = open(path, "rb")
         self.is_gz = path.endswith(".gz")
         self.gz_state = ctypes.c_void_p(0)
@@ -54,18 +56,18 @@ class _FileDecoder:
         if self.eof:
             return False
         if not self.is_gz:
-            chunk = self.fh.read(_CHUNK)
+            chunk = self.fh.read(self.chunk)
             if not chunk:
                 self.eof = True
                 return False
             self.buf.extend(chunk)
             return True
-        # gz: inflate up to _CHUNK of text
-        out = np.empty(_CHUNK, np.uint8)
+        # gz: inflate up to one chunk of text
+        out = np.empty(self.chunk, np.uint8)
         produced_total = 0
         while produced_total == 0:
             if not self.raw:
-                self.raw = self.fh.read(_CHUNK)
+                self.raw = self.fh.read(self.chunk)
                 if not self.raw:
                     self.eof = True
                     return False
@@ -73,7 +75,7 @@ class _FileDecoder:
             produced = self._lib.gz_inflate(
                 ctypes.byref(self.gz_state),
                 self.raw, len(self.raw), ctypes.byref(consumed),
-                out.ctypes.data_as(ctypes.c_void_p), _CHUNK,
+                out.ctypes.data_as(ctypes.c_void_p), self.chunk,
             )
             if produced < 0:
                 raise IOError(f"gzip inflate error {produced}")
@@ -81,7 +83,7 @@ class _FileDecoder:
             produced_total = produced
             if produced == 0 and consumed.value == 0:
                 # need more input
-                more = self.fh.read(_CHUNK)
+                more = self.fh.read(self.chunk)
                 if not more:
                     self.eof = True
                     return False
@@ -103,10 +105,16 @@ class _FileDecoder:
             limit = n
             if self.is_fasta and not self.eof:
                 # only parse up to the last record start so a split FASTA
-                # record is never half-committed
+                # record is never half-committed; if the buffer holds a
+                # single partial record (no later '>'), grow it until the
+                # next record start or EOF arrives — the C decoder would
+                # otherwise commit a silently truncated record
                 last = self.buf.rfind(b">", self.pos + 1)
-                if last > self.pos:
-                    limit = last
+                while last <= self.pos and not self.eof:
+                    self._refill()
+                    last = self.buf.rfind(b">", self.pos + 1)
+                n = len(self.buf)
+                limit = last if last > self.pos else n
             buf_arr = (ctypes.c_char * n).from_buffer(self.buf)
             pos = ctypes.c_int64(self.pos)
             got = self._lib.fastx_decode(

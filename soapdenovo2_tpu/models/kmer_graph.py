@@ -126,7 +126,7 @@ def linear_next_states(g: PreGraph, k: int):
     """(S,) successor state for each state of a linear node (-1 otherwise),
     plus the exit base per state.  S = 2*C."""
     c = g.keys.shape[0]
-    covs = g.covs.astype(jnp.int32)
+    covs = g.covs  # u16 throughout: the s32 copy alone is 1 GB at 16M nodes
     right_b = _unique_base(covs[:, 4:8])  # exit base, orientation 0
     left_b = _unique_base(covs[:, 0:4])
     exit0 = right_b
@@ -166,7 +166,7 @@ def _dead_end_starts(g: PreGraph):
     orientation; (in==1, out==0) walks left, i.e. orientation 1.
     Returns (is_start [C], start_state [C], exit_base [C]).
     """
-    covs = g.covs.astype(jnp.int32)
+    covs = g.covs
     ind, outd = degrees(g.covs)
     fwd = (ind == 0) & (outd == 1)
     bwd = (ind == 1) & (outd == 0)
@@ -179,18 +179,32 @@ def _dead_end_starts(g: PreGraph):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thin"))
+def _tip_chain_inputs(g: PreGraph, k: int, thin: bool):
+    """Device stage 1 of a clip sweep: successor states + chain mask."""
+    single = g.covs[:, 8] == 1
+    chain_mask = (g.linear & single) if thin else g.linear
+    nxt, _ = linear_next_states(g, k)
+    on_chain = jnp.repeat(chain_mask & ~g.deleted, 2)
+    return on_chain, jnp.where(on_chain, nxt, -1)
+
+
 def _clip_tips_once(g: PreGraph, k: int, thin: bool):
-    """One simultaneous tip-clipping sweep.  Returns (g', n_clipped)."""
+    """One simultaneous tip-clipping sweep, staged on the host: chain
+    inputs -> label pass (host-branched cycle handling) -> decisions.
+    One fused jit inlined the label core twice via lax.cond — compile
+    blowup and a worker-killing HBM peak at 33M states."""
+    on_chain, nxt = _tip_chain_inputs(g, k, thin)
+    labels = chain_ops.label_chains_host(on_chain, nxt)
+    return _clip_apply(g, labels, k, thin)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "thin"))
+def _clip_apply(g: PreGraph, labels, k: int, thin: bool):
+    """Device stage 2: clip decisions + application, given chain labels."""
     c = g.keys.shape[0]
     cut_len = 2 * k
-    covs = jnp.asarray(g.covs, jnp.int32)
-
+    covs = g.covs  # stays u16; s32 copies cost 1 GB each at 16M nodes
     single = covs[:, 8] == 1
-    if thin:
-        chain_mask = g.linear & single
-    else:
-        chain_mask = g.linear
-    labels, _ = label_linear_chains(g, k, chain_mask=chain_mask)
 
     is_start, orient, base = _dead_end_starts(g)
     if thin:
@@ -278,10 +292,8 @@ def _clip_tips_once(g: PreGraph, k: int, thin: bool):
     ].set(0, mode="drop")
 
     deleted = g.deleted | del_node
-    covs_u = jnp.where(deleted[:, None], 0, covs_u)
-    g2 = g._replace(
-        covs=jnp.clip(covs_u, 0, 65535).astype(jnp.uint16), deleted=deleted
-    )
+    covs_u = jnp.where(deleted[:, None], jnp.uint16(0), covs_u)
+    g2 = g._replace(covs=covs_u, deleted=deleted)
     g2 = mark_linear(g2)
     n_clipped = jnp.sum(ok.astype(jnp.int32))
     return g2, n_clipped
@@ -297,34 +309,23 @@ def remove_single_tips(g: PreGraph, k: int) -> Tuple[PreGraph, jax.Array]:
     return g, n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_rounds"))
-def _minor_tips_fixpoint(g: PreGraph, k: int, max_rounds: int):
-    """Iterate minority-tip clipping to fixpoint ON DEVICE: the reference
-    loops until no tip moves (removeMinorTips:414); a host-controlled loop
-    would pay one device->host sync per round."""
-
-    def cond(state):
-        _, total, n_last, rounds = state
-        return (n_last > 0) & (rounds < max_rounds)
-
-    def body(state):
-        g, total, _, rounds = state
-        g2, n = _clip_tips_once(g, k, thin=False)
-        return g2, total + n, n, rounds + 1
-
-    g, total, _, _ = jax.lax.while_loop(
-        cond, body, (g, jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32),
-                     jnp.zeros((), jnp.int32))
-    )
-    return g, total
-
-
 def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100
                       ) -> Tuple[PreGraph, jax.Array]:
     """Minority-link tip removal to fixpoint (removeMinorTips:414).
-    Returns (g, total_clipped) with the count left on device."""
+
+    The fixpoint loop runs on the HOST (one scalar readback per round;
+    tips converge in a handful of rounds) — wrapping the whole sweep in
+    a device while_loop inlined the label core into one giant program
+    whose compile time and HBM peak killed the worker at 33M states."""
     g = mark_linear(g)
-    return _minor_tips_fixpoint(g, k, max_rounds)
+    total = 0
+    for _ in range(max_rounds):
+        g, n = _clip_tips_once(g, k, thin=False)
+        n = int(n)
+        total += n
+        if n == 0:
+            break
+    return g, jnp.int32(total)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -77,8 +77,14 @@ def _label_core(on_chain_state, nxt, with_cycles: bool):
 
     nxt_safe = jnp.where(nxt >= 0, nxt, 0)
     nxt_on = (nxt >= 0) & on_chain_state[nxt_safe]
-    # predecessor state: mirror of the flipped state's successor
-    flip_nxt = nxt[sidx ^ 1]
+    # predecessor state: mirror of the flipped state's successor.  The
+    # s -> s^1 flip is an adjacent-pair swap — do it with two 1-D rolls
+    # and a parity select.  Neither a gather by (iota ^ 1) nor a
+    # reshape to (S/2, 2) survives at scale: XLA materializes those as
+    # (8,128)-tiled 2-D temps whose minor-dim padding is 64-128x
+    # (8-16 GB at 33M states).
+    flip_nxt = jnp.where((sidx & 1) == 0, jnp.roll(nxt, -1),
+                         jnp.roll(nxt, 1))
     flip_nxt_safe = jnp.where(flip_nxt >= 0, flip_nxt, 0)
     prv = jnp.where(flip_nxt >= 0, flip_nxt_safe ^ 1, -1)
     prv_on = (prv >= 0) & on_chain_state[jnp.where(prv >= 0, prv, 0)]
@@ -114,7 +120,7 @@ def _label_core(on_chain_state, nxt, with_cycles: bool):
         jnp.where(on_chain_state, head, S - 1),
         num_segments=S,
     )
-    length = jnp.where(is_head, length[sidx], 0)
+    length = jnp.where(is_head, length, 0)
 
     # attach: tail states are chain states whose nxt leaves the chain
     is_tail = on_chain_state & ~nxt_on
@@ -158,3 +164,15 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
         lambda _: labels,
         None,
     )
+
+
+def label_chains_host(on_chain_state, nxt) -> ChainLabels:
+    """label_chains with the rare cycle pass branched on the HOST (one
+    scalar readback) instead of lax.cond.  Under cond both traversal
+    programs inline into the caller and their buffers co-allocate —
+    at 33M states that doubled compile size and peak HBM; callers not
+    under trace should prefer this."""
+    labels, has_cycles = _label_core(on_chain_state, nxt, with_cycles=False)
+    if bool(has_cycles):
+        labels = _label_core(on_chain_state, nxt, with_cycles=True)[0]
+    return labels

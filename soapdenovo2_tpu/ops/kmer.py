@@ -45,8 +45,11 @@ def num_words(k: int) -> int:
     return -(-2 * k // 32)
 
 
-def validate_k(k: int) -> None:
-    if not (13 <= k <= 127) or k % 2 == 0:
+def validate_k(k: int, allow_even: bool = False) -> None:
+    """User-facing K must be odd (no palindromic canonical k-mers); the
+    internal (k+1)-mer patch-table extraction is legitimately even —
+    canonical() remains well-defined (palindrome => is_rc False)."""
+    if not (13 <= k <= 128) or (k % 2 == 0 and not allow_even):
         raise ValueError(f"k must be odd and in [13, 127], got {k}")
 
 
@@ -290,7 +293,7 @@ def extract_kmers(codes, lengths, k: int):
 
     Args/returns: see ``extract_kmers_scan``.
     """
-    validate_k(k)
+    validate_k(k, allow_even=True)
     B, L = codes.shape
     if L < k:
         raise ValueError(f"read buffer length {L} < k={k}")
@@ -403,7 +406,7 @@ def extract_kmers_directed(codes, k: int):
       words: (..., P, W) directed k-mer registers, P = L - k + 1
       valid: (..., P) bool — all k bases are ACGT
     """
-    validate_k(k)
+    validate_k(k, allow_even=True)
     lead = codes.shape[:-1]
     L = codes.shape[-1]
     if L < k:
@@ -478,7 +481,7 @@ def extract_kmers_scan(codes, lengths, k: int):
       right:  (B, P) uint8 — the base following the k-mer, strand-adjusted
       is_rc:  (B, P) bool — canonical form is the reverse complement
     """
-    validate_k(k)
+    validate_k(k, allow_even=True)
     B, L = codes.shape
     if L < k:
         raise ValueError(f"read buffer length {L} < k={k}")

@@ -44,7 +44,7 @@ def test_mask_repeat_by_arc():
 
 def test_fill_gaps_by_arc_unique_route():
     k = 31
-    ov = k - 1
+    ov = k  # arc-adjacent contigs share a full k-mer junction
     # A (dir 0) -> X (dir 4, masked, len 500) -> B (dir 2)
     ctg_len = np.array([2000, 2000, 2000, 2000, 500, 500], np.int64)
     sc = Scaffolder(ctg_len)
@@ -101,3 +101,25 @@ def test_check_files_for_scaff_message(tmp_path):
         _check_files_for_scaff(str(tmp_path / "missing"))
     assert ".contig" in str(ei.value)
     assert "map stages" in str(ei.value)
+
+
+def test_amos_asm_writer(tmp_path):
+    """*.asm/*.contig4asm AMOS dump (prlReadFillGap.c:1745 fo3/foc2)."""
+    import numpy as np
+    from soapdenovo2_tpu.io import files as fio
+    from soapdenovo2_tpu.models.scaffold import Scaffold
+
+    contig_seqs = ["ACGTACGTAA", "TTGGCCAATT"]
+    ctg_len = np.array([10, 10, 10, 10], np.int64)
+    sc = Scaffold([0, 3], [5])  # fwd contig 1, rev contig 2, 5 N gap
+    seq = contig_seqs[0] + "N" * 5 + "AATTGGCCAA"
+    p = str(tmp_path / "x")
+    fio.write_amos_asm(p, [sc], [seq], contig_seqs, ctg_len)
+    asm = open(p + ".asm").read()
+    assert asm.count("{AFG") == 2
+    assert asm.count("{MPS") == 2
+    assert "{CCO" in asm and "{SCF" in asm
+    assert "pos:25,15" in asm  # reverse placement swaps coordinates
+    c4a = open(p + ".contig4asm").read()
+    assert ">1\n" + contig_seqs[0] in c4a
+    assert "AATTGGCCAA" in c4a  # revcomp of contig 2

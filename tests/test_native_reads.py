@@ -87,3 +87,38 @@ def test_native_fasta_multiline(tmp_path):
         rio.batch_reads(rio.iter_lib_reads(lib), 4, 300)
     )
     assert native_rows == python_rows
+
+
+def test_fasta_record_spanning_refill_boundary(tmp_path):
+    """A multi-line FASTA record larger than the decoder chunk must not be
+    truncated or double-decoded (native/fastx.cpp buffer-boundary case)."""
+    import numpy as np
+    from soapdenovo2_tpu import native
+    from soapdenovo2_tpu.io.native_reads import _FileDecoder
+    from soapdenovo2_tpu.ops import kmer as kops
+
+    lib = native.get_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    seqs = ["".join("ACGT"[b] for b in rng.integers(0, 4, size=n))
+            for n in (300, 17, 290, 64)]
+    path = tmp_path / "big.fa"
+    with open(path, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">r{i}\n")
+            for j in range(0, len(s), 60):  # multi-line bodies
+                fh.write(s[j : j + 60] + "\n")
+    for chunk in (32, 57, 128, 1 << 20):  # chunks smaller than one record
+        d = _FileDecoder(str(path), 0, False, lib, chunk=chunk)
+        codes = np.full((8, 512), kops.BASE_N, np.uint8)
+        lengths = np.zeros((8,), np.int32)
+        got = d.decode_into(codes, 0, 1, lengths, 8, 512)
+        d.close()
+        assert got == len(seqs), (chunk, got)
+        for i, s in enumerate(seqs):
+            assert lengths[i] == len(s), (chunk, i)
+            dec = "".join("ACGTN"[c] for c in codes[i, : lengths[i]])
+            assert dec == s, (chunk, i)
