@@ -442,34 +442,29 @@ def solve_reps(g: ContigGraph, paths: List[np.ndarray],
             continue
         if any(int(g.twin[x]) in involved for x in involved):
             continue
-        # pair lefts with rights by read support (first supported right);
-        # a read may traverse the triple in either strand direction
+        # read-indicated pairing must be a PERMUTATION: every left goes
+        # through to exactly one right and vice versa (solvable:355-384
+        # rejects any row or column whose support count differs from 1) —
+        # greedy first-match pairing mis-splits on noisy triples
         go = [
             [
-                support.get((l, e, r), 0)
-                + support.get(
-                    (int(g.twin[r]), int(g.twin[e]), int(g.twin[l])), 0
-                )
+                1 if (
+                    support.get((l, e, r), 0)
+                    + support.get(
+                        (int(g.twin[r]), int(g.twin[e]), int(g.twin[l])), 0
+                    )
+                ) > 0 else 0
                 for r in rights
             ]
             for l in lefts
         ]
-        used_r = set()
-        pairs = []
-        for i in range(1, d):
-            j = next(
-                (j for j in range(d) if go[i][j] > 0 and j not in used_r),
-                None,
-            )
-            if j is None:
-                pairs = None
-                break
-            used_r.add(j)
-            pairs.append((i, j))
-        if pairs is None:
+        if any(sum(row) != 1 for row in go):
             continue
-        for i, j in pairs:
-            _split_copy(g, e, lefts[i], rights[j])
+        if any(sum(go[i][j] for i in range(d)) != 1 for j in range(d)):
+            continue
+        # left[0] keeps the original edge; the rest move to split copies
+        for i in range(1, d):
+            _split_copy(g, e, lefts[i], rights[go[i].index(1)])
         n_split += 1
     return n_split
 

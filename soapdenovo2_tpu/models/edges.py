@@ -111,40 +111,46 @@ def _oriented_first_base(words, orient, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _edges_phase1(g: kg.PreGraph, k: int):
-    """Device phase 1: refresh links, label chains, start/cycle masks.
-
-    Only BIT-PACKED masks leave the device (the tunnel moves ~20 MB/s, so
-    S-sized int downloads would dwarf the compute)."""
+def _edges_chain_inputs(g: kg.PreGraph, k: int):
+    """Device: refresh links + successor states for chain labeling."""
     g = kg.refresh_links(g, k)
     nxt_full, _ = kg.linear_next_states(g, k)
     on_chain = jnp.repeat(g.linear & ~g.deleted, 2)
     nxt = jnp.where(on_chain, nxt_full, -1)
-    labels = chain_ops.label_chains(on_chain, nxt)
-    covs = g.covs.astype(jnp.int32)
+    return g, on_chain, nxt
+
+
+@jax.jit
+def _edges_masks(g: kg.PreGraph, labels):
+    """Device: bit-packed start/cycle masks given chain labels."""
     branch = (~g.deleted) & (~g.linear)
-    right_cov = covs[:, 4:8] > 0  # orient 0 exits
-    left_cov = covs[:, 0:4] > 0  # orient 1 exits via comp(base)
+    right_cov = g.covs[:, 4:8] > 0  # orient 0 exits (u16 stays u16)
+    left_cov = g.covs[:, 0:4] > 0  # orient 1 exits via comp(base)
     sm = jnp.stack(
         [branch[:, None] & right_cov, branch[:, None] & left_cov[:, ::-1]],
         axis=1,
     )  # (C, 2, 4) — same layout as np.nonzero over (C, 2, 4)
     start_packed = _pack_bits_dev(sm.reshape(-1))
     cyc_packed = _pack_bits_dev(labels.is_cycle & labels.is_head)
-    # tail state of each chain head (twin pairing + terminal bases)
-    S = 2 * g.keys.shape[0]
-    sidx = jnp.arange(S, dtype=jnp.int32)
-    head_safe = jnp.maximum(labels.head, 0)
-    t_mask = labels.on_chain & (labels.rank == labels.length[head_safe] - 1)
-    tail_of_head = jnp.full((S,), -1, jnp.int32)
-    tail_of_head = tail_of_head.at[
-        jnp.where(t_mask, head_safe, S)
-    ].set(sidx, mode="drop")
-    return g, labels, tail_of_head, start_packed, cyc_packed
+    return start_packed, cyc_packed
+
+
+def _edges_phase1(g: kg.PreGraph, k: int):
+    """Phase 1, staged on the host: chain inputs -> label pass (rare
+    cycle branch on host, see chains.label_chains_host) -> packed masks.
+    Only BIT-PACKED masks leave the device (the tunnel moves ~20 MB/s, so
+    S-sized int downloads would dwarf the compute).  The former fused jit
+    inlined the label core twice via lax.cond and scattered an iota for
+    the chain-tail map — compile blowup + 16 GB padded temps at 33M
+    states; tails are now the pure gather head[h^1]^1 in phase 2."""
+    g, on_chain, nxt = _edges_chain_inputs(g, k)
+    labels = chain_ops.label_chains_host(on_chain, nxt)
+    start_packed, cyc_packed = _edges_masks(g, labels)
+    return g, labels, start_packed, cyc_packed
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _edges_phase2(g: kg.PreGraph, labels, tail_of_head, s_node, s_orient,
+def _edges_phase2(g: kg.PreGraph, labels, s_node, s_orient,
                   s_base, valid, k: int):
     """Device phase 2: per-start first hop + chain info (E-sized)."""
     S = 2 * g.keys.shape[0]
@@ -160,9 +166,10 @@ def _edges_phase2(g: kg.PreGraph, labels, tail_of_head, s_node, s_orient,
     ch_len = jnp.where(chain_start, labels.length[chs], 0)
     ch_attach = jnp.where(chain_start, labels.attach[chs], -1)
     term_state = jnp.where(chain_start, ch_attach, first_state)
-    # previous-state (tail) info for twin pairing
+    # previous-state (tail) info for twin pairing: the flip-mirror of a
+    # chain [h..t] is [t^1..h^1], so tail(h) = head[h^1] ^ 1 (pure gather)
     tail_state = jnp.where(
-        chain_start, tail_of_head[chs], s_node * 2 + s_orient
+        chain_start, labels.head[chs ^ 1] ^ 1, s_node * 2 + s_orient
     )
     ts = jnp.maximum(tail_state, 0)
     pw = g.keys[ts >> 1]
@@ -226,7 +233,7 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     """Contract all linear chains into directed edges."""
     C = g.keys.shape[0]
     S = 2 * C
-    g, labels, tail_of_head, start_packed, cyc_packed = _edges_phase1(g, k)
+    g, labels, start_packed, cyc_packed = _edges_phase1(g, k)
 
     # ------------------------------------------------------------------
     # enumerate starts: (branch node, orient, exit base) with side cov > 0
@@ -247,7 +254,7 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         vl_p = np.concatenate([np.ones((nstarts,), bool), np.zeros((pad,), bool)])
         (j, first_state, chain_start, ch_len, term_state, pfirst,
          first_kmer_d, tbase_d) = _edges_phase2(
-            g, labels, tail_of_head, jnp.asarray(sn_p), jnp.asarray(so_p),
+            g, labels, jnp.asarray(sn_p), jnp.asarray(so_p),
             jnp.asarray(sb_p), jnp.asarray(vl_p), k,
         )
         j = np.asarray(j)[:nstarts]

@@ -92,8 +92,12 @@ def kmer_freq_hist(g: PreGraph) -> jax.Array:
 
 
 def oriented_kmer(keys, idx, orient, k: int):
-    """K-mer of state (idx, orient): canonical words or their revcomp."""
-    words = keys[idx]
+    """K-mer of state (idx, orient): canonical words or their revcomp.
+
+    ``idx=None`` means "every row in order" — callers iterating all nodes
+    must NOT pass arange: a gather indexed by an iota makes XLA remat a
+    padded s32[C,1] iota copy (8 GB at 16M nodes)."""
+    words = keys if idx is None else keys[idx]
     rc = kops.reverse_complement(words, k)
     return jnp.where(orient[..., None].astype(bool), rc, words)
 
@@ -104,7 +108,7 @@ def next_of(g: PreGraph, idx, orient, base, k: int):
     Returns (j, oj): target node index (-1 if absent/deleted) and its
     traversal orientation.  This is the vectorized form of the reference's
     nextKmer + reverseComplement + search_kmerset idiom (repeated all over
-    cutTipPreGraph.c / node2edge.c).
+    cutTipPreGraph.c / node2edge.c).  ``idx=None`` = all nodes in order.
     """
     cur = oriented_kmer(g.keys, idx, orient, k)
     nxt = kops.shift_left_append(cur, base, k)
@@ -132,9 +136,8 @@ def linear_next_states(g: PreGraph, k: int):
     exit0 = right_b
     exit1 = (3 - left_b) & 3  # orientation 1 exits via comp(left base)
 
-    idx = jnp.arange(c, dtype=jnp.int32)
-    j0, o0 = next_of(g, idx, jnp.zeros((c,), jnp.int32), exit0, k)
-    j1, o1 = next_of(g, idx, jnp.ones((c,), jnp.int32), exit1, k)
+    j0, o0 = next_of(g, None, jnp.zeros((c,), jnp.int32), exit0, k)
+    j1, o1 = next_of(g, None, jnp.ones((c,), jnp.int32), exit1, k)
 
     lin = g.linear
     s0 = jnp.where(lin & (j0 >= 0), j0 * 2 + o0, -1)
@@ -210,7 +213,7 @@ def _clip_apply(g: PreGraph, labels, k: int, thin: bool):
     if thin:
         is_start = is_start & single
     idx = jnp.arange(c, dtype=jnp.int32)
-    j, oj = next_of(g, idx, orient, base, k)
+    j, oj = next_of(g, None, orient, base, k)
     j_safe = jnp.maximum(j, 0)
     first_state = j * 2 + oj
 
@@ -336,16 +339,15 @@ def refresh_links(g: PreGraph, k: int) -> PreGraph:
     guarantees every cov>0 entry has a live neighbor before edge building.
     """
     c = g.keys.shape[0]
-    idx = jnp.arange(c, dtype=jnp.int32)
     covs = g.covs.astype(jnp.int32)
     for b in range(4):
         # right link, orientation 0, exit base b
-        j, _ = next_of(g, idx, jnp.zeros((c,), jnp.int32), jnp.full((c,), b, jnp.uint32), k)
+        j, _ = next_of(g, None, jnp.zeros((c,), jnp.int32), jnp.full((c,), b, jnp.uint32), k)
         covs = covs.at[:, 4 + b].set(jnp.where(j >= 0, covs[:, 4 + b], 0))
         # left link: orientation 1 exit base comp(b) reaches the left
         # neighbor of base b
         j2, _ = next_of(
-            g, idx, jnp.ones((c,), jnp.int32), jnp.full((c,), (3 - b) & 3, jnp.uint32), k
+            g, None, jnp.ones((c,), jnp.int32), jnp.full((c,), (3 - b) & 3, jnp.uint32), k
         )
         covs = covs.at[:, b].set(jnp.where(j2 >= 0, covs[:, b], 0))
     covs = jnp.where(g.deleted[:, None], 0, covs)
