@@ -98,6 +98,64 @@ def main() -> None:
     dt = (time.time() - t0) / ITERS
     kmers = FLUSH_N * B * (L - K + 1)
     value = kmers / dt
+
+    # ---- arc pass: read->edge hits + last-seen scan + LSM arc merge ----
+    from soapdenovo2_tpu.models import pregraph as pgm
+
+    n_keys = 1 << 20
+    E = 1 << 18
+    keys = np.asarray(table.keys[:n_keys])
+    state_edge = jnp.asarray(
+        rng.integers(-1, E, size=(2 * n_keys,)).astype(np.int32)
+    )
+    state_rank = jnp.zeros((2 * n_keys,), jnp.int32)
+    empty_patch = (jnp.zeros((0, keys.shape[1]), jnp.uint32),
+                   jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32))
+    tkeys = jnp.asarray(keys)
+
+    def arc_cycle(arcs):
+        pend = []
+        for _ in range(8):
+            prev, hit, is_arc, _ = pgm._arc_pairs_from_batch(
+                codes, lengths, K, tkeys, state_edge, state_rank,
+                *empty_patch,
+            )
+            pend.append(pgm._raw_arc_rows(prev, hit, is_arc))
+        l1 = pgm._reduce_raw_arcs(tuple(pend), 1 << 20)
+        return pgm._merge_sorted_arcs(arcs, l1, 1 << 20)
+
+    arcs = pgm.ArcAccumulator.empty(1 << 20)
+    arcs = jax.block_until_ready(arc_cycle(arcs))
+    t0 = time.time()
+    for _ in range(3):
+        arcs = arc_cycle(arcs)
+    jax.block_until_ready(arcs.keys)
+    arc_dt = (time.time() - t0) / 3
+    arc_kmers_s = 8 * B * (L - K + 1) / arc_dt
+
+    # ---- map pass: read->contig voting over a sorted contig index ----
+    from soapdenovo2_tpu.models import mapping as mpm
+
+    ctg_of = jnp.asarray(rng.integers(0, E, size=(n_keys,)).astype(np.int32))
+    pos_of = jnp.asarray(
+        rng.integers(0, 5000, size=(n_keys,)).astype(np.int32)
+    )
+
+    ctg_len_arr = jnp.full((2 * E,), 5000, jnp.int32)
+    flip_arr = jnp.zeros((n_keys,), bool)
+
+    def map_step(c, l):  # _map_batch is jitted (static align/half_rule)
+        return mpm._map_batch(
+            c, l, K, tkeys, ctg_of, pos_of, flip_arr, ctg_len_arr, 35, False,
+        )
+    out = jax.block_until_ready(map_step(codes, lengths))
+    t0 = time.time()
+    for _ in range(5):
+        out = map_step(codes, lengths)
+    jax.block_until_ready(out)
+    map_dt = (time.time() - t0) / 5
+    map_reads_s = B / map_dt
+
     print(
         json.dumps(
             {
@@ -105,6 +163,8 @@ def main() -> None:
                 "value": round(value),
                 "unit": "kmers/s",
                 "vs_baseline": round(value / REFERENCE_KMERS_PER_S, 2),
+                "arc_pass_kmers_s": round(arc_kmers_s),
+                "map_pass_reads_s": round(map_reads_s),
             }
         )
     )

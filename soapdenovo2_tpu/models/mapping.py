@@ -138,7 +138,11 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
     fwd = hit_flip == read_flip
 
     B, P = hit_cid.shape
-    # per-read contig vote: count[b,p] = #hits of the same contig (O(P^2))
+    # per-read contig vote: count[b,p] = #hits of the same contig.  The
+    # (B, P, P) bool tensor is O(P^2) but bounded: ~134 MB at the default
+    # batch 8192 x 150 bp reads, a sub-ms VPU pass on v5e — a sort-based
+    # O(P log P) version saves memory only for read lengths >> 1 kb,
+    # where callers should shrink the batch instead.
     same = (hit_cid[:, :, None] == hit_cid[:, None, :]) & (
         hit_cid[:, :, None] >= 0
     )

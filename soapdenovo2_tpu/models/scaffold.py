@@ -259,28 +259,54 @@ class Scaffolder:
     # -- chain coordinate helpers ------------------------------------------
     def _chain_maps(self):
         """Per directed contig: chain id, orientation within chain,
-        distance from chain start to contig start, distance to chain end."""
+        distance from chain start to contig start, distance to chain end.
+
+        Vectorized over ONE flattened member array — this runs once per
+        rank over every chained contig, and per-chain Python loops were
+        the scaling wall at millions of chains."""
         cid = np.full((self.n_dir,), -1, np.int64)
         off = np.zeros((self.n_dir,), np.int64)  # dist from chain head
         tail = np.zeros((self.n_dir,), np.int64)  # dist to chain tail
         flip = np.zeros((self.n_dir,), bool)
-        for si, sc in enumerate(self.chains):
-            total = sum(self.ctg_len[c] for c in sc.ctgs) + sum(
-                gap_span(g) for g in sc.gaps
-            )
-            acc = 0
-            for j, c in enumerate(sc.ctgs):
-                cl = int(self.ctg_len[c])
-                for cc, fl in ((c, False), (twin_ctg(np.int64(c)), True)):
-                    cid[cc] = si
-                    flip[cc] = fl
-                    if not fl:
-                        off[cc] = acc
-                        tail[cc] = total - acc - cl
-                    else:
-                        off[cc] = total - acc - cl
-                        tail[cc] = acc
-                acc += cl + (gap_span(sc.gaps[j]) if j < len(sc.gaps) else 0)
+        chains = self.chains
+        n_ch = len(chains)
+        if not n_ch:
+            return cid, off, tail, flip
+        counts = np.fromiter((len(sc.ctgs) for sc in chains), np.int64,
+                             count=n_ch)
+        total_m = int(counts.sum())
+        if not total_m:
+            return cid, off, tail, flip
+        flat = np.fromiter(
+            (c for sc in chains for c in sc.ctgs), np.int64, count=total_m
+        )
+        # per-member advance: len + following gap (0 for chain tails)
+        step = self.ctg_len[flat].astype(np.int64).copy()
+        gaps = np.fromiter(
+            (gap_span(g) for sc in chains for g in sc.gaps), np.int64,
+            count=total_m - n_ch,
+        )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        is_tail_m = np.zeros((total_m,), bool)
+        is_tail_m[np.cumsum(counts) - 1] = True
+        step[~is_tail_m] += gaps
+        acc = np.cumsum(step) - step  # start offset within the stream
+        chain_of = np.repeat(np.arange(n_ch, dtype=np.int64), counts)
+        safe_starts = np.minimum(starts, max(total_m - 1, 0))
+        chain_base = acc[safe_starts][chain_of]
+        off_f = acc - chain_base
+        cs = np.concatenate([[0], np.cumsum(step)])
+        totals = cs[starts + counts] - cs[starts]  # robust to empty chains
+        tail_f = totals[chain_of] - off_f - self.ctg_len[flat]
+        twin_f = flat ^ 1
+        cid[flat] = chain_of
+        cid[twin_f] = chain_of
+        flip[twin_f] = True
+        flip[flat] = False
+        off[flat] = off_f
+        tail[flat] = tail_f
+        off[twin_f] = tail_f
+        tail[twin_f] = off_f
         return cid, off, tail, flip
 
     def add_rank(self, links: LinkTable, pair_cutoff: int,
