@@ -72,15 +72,25 @@ def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
     tpu_prefix = os.path.join(workdir, "tpu_asm")
     if sparse:
         z = str(genome_len * 2)
-        for stage in (
-            ["sparse_pregraph", "-s", cfgp, "-K", str(k), "-z", z, "-g", "15",
-             "-o", ref_prefix, "-p", "4"],
-            ["contig", "-g", ref_prefix],
-            ["map", "-s", cfgp, "-g", ref_prefix, "-p", "4"],
-            ["scaff", "-g", ref_prefix, "-F"],
-        ):
-            subprocess.run([binary] + stage, check=True, capture_output=True,
-                           timeout=600, cwd=workdir)
+        try:
+            for stage in (
+                ["sparse_pregraph", "-s", cfgp, "-K", str(k), "-z", z,
+                 "-g", "15", "-o", ref_prefix, "-p", "4"],
+                ["contig", "-g", ref_prefix],
+                ["map", "-s", cfgp, "-g", ref_prefix, "-p", "4"],
+                ["scaff", "-g", ref_prefix, "-F"],
+            ):
+                subprocess.run([binary] + stage, check=True,
+                               capture_output=True, timeout=600, cwd=workdir)
+        except subprocess.CalledProcessError:
+            # the reference sparse driver segfaults on some inputs; fall
+            # back to its dense pipeline as the parity bar (a HIGHER bar:
+            # dense sees every k-mer)
+            subprocess.run(
+                [binary, "all", "-s", cfgp, "-K", str(k), "-o", ref_prefix,
+                 "-p", "4"],
+                check=True, capture_output=True, timeout=600, cwd=workdir,
+            )
         for stage in (
             ["sparse_pregraph", "-s", cfgp, "-K", str(k), "-z", z, "-g", "15",
              "-o", tpu_prefix],
@@ -95,8 +105,10 @@ def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
              "-p", "4", *ref_extra],
             check=True, capture_output=True, timeout=600, cwd=workdir,
         )
+        # same flags as the reference run: no -d (reference default d=0);
+        # asymmetric -d 1 pruning dropped true coverage-1 k-mers at high k
         cli.main(["all", "-s", cfgp, "-K", str(k), "-o", tpu_prefix,
-                  "-d", "1", *tpu_extra])
+                  *tpu_extra])
 
     comp = str.maketrans("ACGTN", "TGCAN")
 
