@@ -50,6 +50,9 @@ def _contig_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-R", dest="resolve_repeats", action="store_true")
     p.add_argument("-m", dest="max_k", type=int, default=0,
                    help="max k for multi-k iteration (requires -s)")
+    p.add_argument("--iter-step", dest="iter_step", type=int, default=0,
+                   help="k increment per iteration level (0 = ~4 levels; "
+                        "2 = the reference's every-odd-k sweep)")
     p.add_argument("-s", dest="config", default=None,
                    help="read config (required with -m)")
     p.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)
@@ -214,6 +217,7 @@ def cmd_contig(args) -> None:
             cfg, info["k"], args.max_k,
             d_cutoff=getattr(args, "kmer_freq_cutoff", 1),
             record_paths=args.resolve_repeats,
+            step=getattr(args, "iter_step", 0),
         )
         n = ck.write_contigs(args.prefix, res.graph)
         log.info("contig (iterate to k=%d): %d contigs, stats %s",

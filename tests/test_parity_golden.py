@@ -104,7 +104,7 @@ def test_golden_sparse(tmp_path):
     quality stays strict."""
     from parity_check import run_parity
 
-    res = run_parity(str(tmp_path), genome_len=30_000, k=23, sparse=True)
+    res = run_parity(str(tmp_path), genome_len=20_000, k=23, sparse=True)
     ref, tpu = res["ref"], res["tpu"]
     assert tpu["scaffold"]["N50"] >= 0.3 * ref["scaffold"]["N50"]
     assert tpu["matched"] >= 0.9 * ref["matched"]

@@ -130,6 +130,7 @@ def test_sparse_pregraph_feeds_standard_contig_stage(tmp_path):
             assert s in gstr or revcomp_str(s) in gstr
 
 
+@pytest.mark.slow
 def test_sparse_tip_clipping():
     # a minority dead-end branch hanging off a well-covered path is clipped
     genome = sim.random_genome(3000, seed=405)
