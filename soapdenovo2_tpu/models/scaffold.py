@@ -405,6 +405,12 @@ class Scaffolder:
                             drop.add((a, cnode))
         for d in drop:
             linkset.pop(d, None)
+            # twin symmetry: dropping A->C must drop C^1->A^1 too, or the
+            # orphan mirror leaves a phantom predecessor that blocks
+            # unique-successor freezing at the junction
+            linkset.pop((d[1] ^ 1, d[0] ^ 1), None)
+        log.debug("rank ins=%d: %d chain links after transitive reduction",
+                  insert_size, len(linkset))
 
         # subgraph linearization (general_linearization:8123): strict pass
         # always (simplifyCnt:2013), non-strict pass on the last rank
@@ -421,14 +427,34 @@ class Scaffolder:
             and self.cvg_dir is not None
             and self.k > 0
         )
+        window = insert_size + 3 * ins_var
         self._general_linearization(linkset, chain_len_of, ins_var,
                                     overlap_tol=0.05, confl_tol=0.05,
-                                    snp=snp)
+                                    snp=snp, window=window)
         if last_rank:
             self._general_linearization(linkset, chain_len_of, ins_var,
                                         overlap_tol=0.10, confl_tol=0.10,
-                                        snp=snp)
+                                        snp=snp, window=window)
 
+        log.debug("rank ins=%d: %d links after linearization", insert_size,
+                  len(linkset))
+        if log.isEnabledFor(logging.DEBUG):
+            outs_dbg: Dict[int, list] = {}
+            for (a, b), (ww, gg) in linkset.items():
+                outs_dbg.setdefault(a, []).append((b, ww, gg))
+            nmul = 0
+            for a, cand in outs_dbg.items():
+                if len(cand) > 1:
+                    nmul += 1
+                    if nmul <= 6:
+                        def _len(x):
+                            c0 = self._single_ctg(x)
+                            return (int(self.ctg_len[c0])
+                                    if c0 is not None else -1)
+                        log.debug("branch a=%d len=%d -> %s", a, _len(a),
+                                  [(b, round(w, 1), g, _len(b))
+                                   for b, w, g in cand])
+            log.debug("pre-maskPuzzle: %d multi-out nodes", nmul)
         # maskPuzzle (orderContig.c:1291): singleton chains that still
         # branch are repeat puzzles — mask them out of ordering (they come
         # back via recoverMask / gap placement)
@@ -446,6 +472,18 @@ class Scaffolder:
                 succ[a] = (b, gg)
                 pred_count[b] = pred_count.get(b, 0) + 1
         # drop ambiguous predecessors
+        if log.isEnabledFor(logging.DEBUG):
+            for a, (b, gg) in succ.items():
+                if pred_count.get(b, 0) > 1:
+                    others = [x for x, (y, _) in succ.items() if y == b]
+                    log.debug("multi-pred b=%d preds=%s lens=%s masked=%s",
+                              b, others,
+                              [int(self.ctg_len[self._single_ctg(x)])
+                               if self._single_ctg(x) is not None else -1
+                               for x in others],
+                              [bool(self.mask[self._single_ctg(x)])
+                               if self._single_ctg(x) is not None else None
+                               for x in others])
         succ = {
             a: (b, gg)
             for a, (b, gg) in succ.items()
@@ -482,6 +520,11 @@ class Scaffolder:
                 used[b >> 1] = True
                 cur = b
             merged.append(self._stitch(path, gaps))
+        n_multi_out = sum(1 for c in outs_by_a.values() if len(c) > 1)
+        log.debug(
+            "rank ins=%d: %d unique-succ merges, %d multi-out endpoints, "
+            "%d chains", insert_size, len(succ), n_multi_out, len(merged),
+        )
         self.chains = merged
 
     def _add_rank_native(self, lib, links: LinkTable, pair_cutoff: int,
@@ -547,6 +590,7 @@ class Scaffolder:
             n_ch, P(ptr), P(ctgs), P(gaps),
             m, P(c1), P(c2), P(lw), P(lg),
             int(pair_cutoff), int(insert_size), int(bool(last_rank)),
+            int(max(self.k, 0)),
             float(self.cvg4snp), int(snp_possible),
             P(head, u64p), P(tail, u64p),
             P(out_ptr), P(out_ctgs), P(out_gaps), P(out_snp), P(out_counts),
@@ -582,6 +626,7 @@ class Scaffolder:
         confl_tol: float,
         max_nodes: int = 32,
         snp: bool = False,
+        window: int = 0,
     ) -> int:
         """Order bounded link subgraphs by estimated position and replace
         their links with a consistent linear chain.
@@ -604,7 +649,13 @@ class Scaffolder:
         for a in sorted(outs.keys()):
             if a in consumed or len(outs.get(a, ())) < 2:
                 continue
-            # gather positions by relaxation BFS in both directions
+            # gather positions by relaxation BFS in both directions,
+            # bounded by insert-size DISTANCE from a's ends like the
+            # reference's pickUpGeneralSubgraph (orderContig.c:6464):
+            # out-of-window neighbours are SKIPPED, not failures, so the
+            # subgraph stays local instead of swallowing the whole chain
+            # graph and tripping max_nodes
+            a_len = chain_len_of(a)
             pos: Dict[int, int] = {a: 0}
             queue = [a]
             ok = True
@@ -617,6 +668,8 @@ class Scaffolder:
                             ok = False
                             break
                     else:
+                        if window and p - a_len > window:
+                            continue  # beyond the insert window
                         if len(pos) >= max_nodes:
                             ok = False
                             break
@@ -631,6 +684,8 @@ class Scaffolder:
                             ok = False
                             break
                     else:
+                        if window and -(p + chain_len_of(pn)) > window:
+                            continue  # beyond the insert window
                         if len(pos) >= max_nodes:
                             ok = False
                             break
@@ -646,13 +701,18 @@ class Scaffolder:
             # removeBubbleCtg orderContig.c:7986)
             if snp and len(order) >= 2:
                 order = self._remove_bubble_ctg(order, linkset, chain_len_of)
-            # checkOverlapInBetween_general: consecutive overlap bounded
+            # checkOverlapInBetween_general: consecutive overlap bounded.
+            # Contig coordinates here use FULL sequence lengths, so
+            # arc-adjacent members legitimately overlap by the shared
+            # k-mer junction — allow k plus slack before calling conflict
+            # (the reference's lengths exclude the junction overlap, so
+            # its tolerance needs no k term).
             ok = True
             for (x, px), (y, py) in zip(order, order[1:]):
                 overlap = px + chain_len_of(x) - py
                 lim = max(
                     overlap_tol * min(chain_len_of(x), chain_len_of(y)),
-                    ins_var,
+                    ins_var + max(self.k, 0),
                 )
                 if overlap > lim:
                     ok = False

@@ -117,6 +117,7 @@ def get_scaffolder_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, i64p, i64p, i64p,              # chains
             ctypes.c_int64, i64p, i64p, i64p, i64p,        # links
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # params
+            ctypes.c_int64,                                # k
             ctypes.c_double, ctypes.c_int64, u64p, u64p,   # snp
             i64p, i64p, i64p, i64p, i64p,                  # outputs
         ]

@@ -60,6 +60,7 @@ struct Ctx {
   const int64_t* chain_gaps;  // chain i gaps at [ptr[i]-i, ptr[i+1]-(i+1))
   // params
   int64_t insert_size;
+  int64_t k;  // assembly k: arc-adjacent contigs overlap by k bases
   double cvg4snp;
   int snp_enabled;
   const uint64_t* head_sig;  // per directed ctg (0 when unavailable)
@@ -196,10 +197,15 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
   for (auto& kv : outs) starts.push_back(kv.first);
   std::sort(starts.begin(), starts.end());
 
+  // subgraphs are bounded by insert-size DISTANCE from a's ends like the
+  // reference's pickUpGeneralSubgraph (orderContig.c:6464): out-of-window
+  // neighbours are skipped, not failures (scaffold.py keeps the same rule)
+  const int64_t window = ctx.insert_size + 3 * ins_var;
   for (int64_t a : starts) {
     if (consumed.count(a)) continue;
     auto oit = outs.find(a);
     if (oit == outs.end() || oit->second.size() < 2) continue;
+    const int64_t a_len = ctx.chain_len_of(a);
     // relaxation DFS in both directions (queue.pop() == pop_back)
     std::unordered_map<int64_t, int64_t> pos;
     pos[a] = 0;
@@ -220,6 +226,7 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
               break;
             }
           } else {
+            if (p - a_len > window) continue;  // beyond the insert window
             if (static_cast<int64_t>(pos.size()) >= max_nodes) {
               ok = false;
               break;
@@ -242,6 +249,8 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
               break;
             }
           } else {
+            if (-(p + ctx.chain_len_of(e.other)) > window)
+              continue;  // beyond the insert window
             if (static_cast<int64_t>(pos.size()) >= max_nodes) {
               ok = false;
               break;
@@ -277,10 +286,12 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
       int64_t x = order[i].first, px = order[i].second;
       int64_t y = order[i + 1].first, py = order[i + 1].second;
       int64_t overlap = px + ctx.chain_len_of(x) - py;
+      // full-length contig coordinates: arc-adjacent members overlap by
+      // the shared k-mer junction, so allow k plus slack (scaffold.py)
       double lim = std::max(
           overlap_tol * static_cast<double>(
                             std::min(ctx.chain_len_of(x), ctx.chain_len_of(y))),
-          static_cast<double>(ins_var));
+          static_cast<double>(ins_var + std::max(ctx.k, int64_t(0))));
       if (static_cast<double>(overlap) > lim) {
         ok = false;
         break;
@@ -386,7 +397,7 @@ int64_t scaff_ordering_rank(
     const int64_t* chain_ctgs, const int64_t* chain_gaps, int64_t m,
     const int64_t* lc1, const int64_t* lc2, const int64_t* lw,
     const int64_t* lgap, int64_t pair_cutoff, int64_t insert_size,
-    int64_t last_rank, double cvg4snp, int64_t snp_enabled,
+    int64_t last_rank, int64_t k, double cvg4snp, int64_t snp_enabled,
     const uint64_t* head_sig, const uint64_t* tail_sig,
     int64_t* out_chain_ptr, int64_t* out_ctgs, int64_t* out_gaps,
     int64_t* out_snp_pairs, int64_t* out_counts) {
@@ -401,6 +412,7 @@ int64_t scaff_ordering_rank(
   ctx.chain_ctgs = chain_ctgs;
   ctx.chain_gaps = chain_gaps;
   ctx.insert_size = insert_size;
+  ctx.k = k;
   ctx.cvg4snp = cvg4snp;
   ctx.snp_enabled = static_cast<int>(snp_enabled);
   ctx.head_sig = head_sig;
@@ -493,8 +505,13 @@ int64_t scaff_ordering_rank(
           auto bc = ls.find(key2(b, c));
           if (bc != ls.end()) {
             int64_t expect = ab + ctx.chain_len_of(b) + bc->second.g;
-            if (std::llabs(expect - ls[key2(a, c)].g) < tol)
+            if (std::llabs(expect - ls[key2(a, c)].g) < tol) {
+              // twin symmetry: drop the mirror C^1->A^1 as well, or the
+              // orphan mirror leaves a phantom predecessor that blocks
+              // unique-successor freezing at the junction
               drop.insert(key2(a, c));
+              drop.insert(key2(c ^ 1, a ^ 1));
+            }
           }
         }
       }

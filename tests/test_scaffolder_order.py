@@ -35,8 +35,10 @@ def test_general_linearization_resolves_shared_successor():
     # but positions order A, B, C consistently.
     ctg_len = np.full((6,), 1000, np.int64)  # A=0, B=2, C=4
     sc = Scaffolder(ctg_len)
+    # gaps must be within the insert size (attach1PE rejects gap > ins,
+    # and subgraph gathering windows on the insert distance)
     links = _links([(0, 4, 5, 1200), (2, 4, 5, 100)])
-    sc.add_rank(links, 3, 500, last_rank=True)
+    sc.add_rank(links, 3, 2000, last_rank=True)
     chains = [c for c in sc.result() if len(c.ctgs) > 1]
     assert len(chains) == 1
     assert _norm(chains[0]) == (0, 2, 4)
