@@ -142,6 +142,62 @@ def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
     return out
 
 
+def run_interop(workdir: str, genome_len: int = 20_000, k: int = 23,
+                coverage: float = 35.0, error_rate: float = 0.005,
+                seed: int = 123, read_len: int = 100) -> dict:
+    """Cross-implementation stage mixing (VERDICT interop item): OUR
+    pregraph+contig -> the REFERENCE binary's map stage on that prefix ->
+    OUR scaff on the reference's map output.  Exercises *.contig /
+    *.ContigIndex / *.preGraphBasic consumption by the reference and
+    *.readOnContig.gz / *.readInGap.gz / *.peGrads consumption by us
+    (prlRead2Ctg.c:868-880 formats)."""
+    from soapdenovo2_tpu import cli
+    from soapdenovo2_tpu.io import files as fio
+    from soapdenovo2_tpu.utils import simulate as sim
+    from soapdenovo2_tpu.utils.simulate import assembly_stats
+
+    os.makedirs(workdir, exist_ok=True)
+    cfgp, genome = sim.make_test_config(
+        workdir, genome_len=genome_len, read_len=read_len, insert_size=350,
+        coverage=coverage, error_rate=error_rate, seed=seed,
+    )
+    gstr = genome.decode()
+    binary = build_reference(63)
+    prefix = os.path.join(workdir, "mix_asm")
+    cli.main(["pregraph", "-s", cfgp, "-K", str(k), "-o", prefix])
+    cli.main(["contig", "-g", prefix])
+    proc = subprocess.run(
+        [binary, "map", "-s", cfgp, "-g", prefix, "-p", "2"],
+        capture_output=True, timeout=600, cwd=workdir,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference map failed on our contig output:\n"
+            f"{proc.stderr.decode()[-2000:]}"
+        )
+    cli.main(["scaff", "-g", prefix, "-F"])
+
+    comp = str.maketrans("ACGTN", "TGCAN")
+    good = bad = 0
+    scaf = [s for _, s in fio.read_fasta(prefix + ".scafSeq")
+            if len(s) >= 100]
+    for c in scaf:
+        for s in re.split("N+", c):
+            if len(s) < 50:
+                continue
+            if s in gstr or s.translate(comp)[::-1] in gstr:
+                good += len(s)
+            else:
+                bad += len(s)
+    return {
+        "scaffold": assembly_stats(scaf),
+        "matched": good,
+        "mismatched": bad,
+        "genome_len": genome_len,
+        "map_stderr_tail": proc.stderr.decode()[-500:],
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-len", type=int, default=50_000)

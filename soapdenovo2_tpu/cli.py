@@ -63,6 +63,9 @@ def _contig_args(p: argparse.ArgumentParser) -> None:
 def _map_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-s", dest="config", required=True)
     p.add_argument("-g", dest="prefix", required=True)
+    p.add_argument("-f", dest="fill", action="store_true",
+                   help="also emit *.shortreadInGap.gz/*.PEreadOnContig.gz "
+                        "for SRkgf (prlRead2Ctg.c:868-880)")
     p.add_argument("-k", dest="map_kmer", type=int, default=0,
                    help="smaller k for mapping (default: assembly K)")
     p.add_argument("-p", dest="ncpu", type=int, default=8)
@@ -255,9 +258,36 @@ def cmd_map(args) -> None:
     info = fio.read_pre_graph_basic(args.prefix)
     k = args.map_kmer or info["k"]
     contigs = ck.load_contigs(args.prefix)
-    mres = mp.run_map(cfg, contigs, k, batch_size=args.batch_size)
-    fio.write_read_on_contig(args.prefix, mres.read_id, mres.ctg, mres.pos)
-    fio.write_read_in_gap(args.prefix, mres.gap_reads)
+    try:
+        idmap = fio.read_contig_index(args.prefix)
+        dir2ref = idmap.dir2ref
+    except FileNotFoundError:
+        dir2ref = None
+    pe_sink = None
+    pe_close = None
+    if getattr(args, "fill", False):
+        # -f (prlRead2Ctg.c:868-880): stream fully-mapped pairs out as we go
+        append_pair, pe_close = fio.write_pe_read_on_contig_open(args.prefix)
+
+        def pe_sink(l1, c1, p1, s1, l2, c2, p2, s2, ins):
+            r1 = int(dir2ref[c1]) if dir2ref is not None else c1 + 1
+            r2 = int(dir2ref[c2]) if dir2ref is not None else c2 + 1
+            o1 = "-" if c1 & 1 else "+"
+            o2 = "-" if c2 & 1 else "+"
+            append_pair(l1, r1, p1, o1, ins, s1[:l1], l2, r2, p2, o2, s2[:l2])
+
+    mres = mp.run_map(cfg, contigs, k, batch_size=args.batch_size,
+                      pe_sink=pe_sink)
+    if pe_close is not None:
+        pe_close()
+    fio.write_read_on_contig(args.prefix, mres.read_id, mres.ctg, mres.pos,
+                             dir2ref=dir2ref)
+    fio.write_read_in_gap(args.prefix, mres.gap_reads, dir2ref=dir2ref)
+    fio.write_long_read_in_gap(args.prefix, mres.long_reads,
+                               dir2ref=dir2ref)
+    if getattr(args, "fill", False):
+        fio.write_short_read_in_gap(args.prefix, mres.gap_reads,
+                                    dir2ref=dir2ref)
     fio.write_pe_grads(args.prefix, mres.pe_grads, cfg.max_rd_len)
 
 
@@ -294,14 +324,16 @@ def _cmd_scaff_gapfill_only(args, compat: bool) -> None:
     else:
         seqs = [sf.scaffold_sequence(s, contigs) for s in scaffolds]
         gap_seqs = []
-    fio.write_scaf_seq(args.prefix, seqs)
+    cvg = _load_contig_cvg(args.prefix, len(contigs))
+    fio.write_scaf_seq(args.prefix, seqs,
+                       names=fio.scaf_seq_names(scaffolds, seqs, cvg))
     fio.write_fasta_generic(
         args.prefix + ".gapSeq",
         ((f"gap{i + 1}", s) for i, s in enumerate(gap_seqs)),
     )
     stats = sim_utils.assembly_stats(seqs)
-    contig_stats = sim_utils.assembly_stats(contigs)
-    fio.write_scaf_statistics(args.prefix, contig_stats, stats)
+    fio.write_scaf_statistics(args.prefix,
+                              getattr(args, "genome_size", 0))
     log.info("scaff -S (gap fill only): %s", stats)
 
 
@@ -318,7 +350,12 @@ def cmd_scaff(args) -> None:
         return
     _check_files_for_scaff(args.prefix, compat)
     contigs = ck.load_contigs(args.prefix)
-    rid, ctg, pos = fio.read_read_on_contig(args.prefix, compat=compat)
+    try:
+        ref2dir = fio.read_contig_index(args.prefix).ref2dir
+    except FileNotFoundError:
+        ref2dir = None
+    rid, ctg, pos = fio.read_read_on_contig(args.prefix, compat=compat,
+                                            ref2dir=ref2dir)
     grads, max_rd_len = fio.read_pe_grads(args.prefix)
     cvg = _load_contig_cvg(args.prefix, len(contigs))
     mres = mp.MapResult(
@@ -326,9 +363,10 @@ def cmd_scaff(args) -> None:
         gap_read_ids=np.zeros((0,), np.int64),
         n_reads=int(grads[-1].end_read_id) if grads else 0,
         pe_grads=grads,
-        gap_reads=fio.read_read_in_gap(args.prefix, compat=compat),
+        gap_reads=fio.read_read_in_gap(args.prefix, compat=compat,
+                                       ref2dir=ref2dir),
     )
-    ctg_arcs = fio.read_heavy_arcs(args.prefix)
+    ctg_arcs = fio.read_heavy_arcs(args.prefix, ref2dir=ref2dir)
     try:
         k = fio.read_pre_graph_basic(args.prefix)["k"]
     except (FileNotFoundError, KeyError):
@@ -367,7 +405,9 @@ def cmd_scaff(args) -> None:
     fio.write_new_contig_index(args.prefix, ctg_len, cvg)
     fio.write_scaf(args.prefix, sres.scaffolds, ctg_len)
     fio.write_scaf_gap(args.prefix, sres.scaffolds, ctg_len, sres.arc_fills)
-    fio.write_scaf_seq(args.prefix, sres.seqs)
+    fio.write_scaf_seq(
+        args.prefix, sres.seqs,
+        names=fio.scaf_seq_names(sres.scaffolds, sres.seqs, cvg))
     fio.write_fasta_generic(
         args.prefix + ".gapSeq",
         ((f"gap{i + 1}", s) for i, s in enumerate(sres.gap_seqs)),
@@ -382,26 +422,27 @@ def cmd_scaff(args) -> None:
         fio.write_amos_asm(
             args.prefix, sres.scaffolds, sres.seqs, contigs, ctg_len
         )
-    contig_stats = sim_utils.assembly_stats(contigs)
-    gsize = getattr(args, "genome_size", 0)
-    if gsize:
-        # -N (scaffold.c -N): report assembly/genome ratio in ScafStat
-        sres.stats["genome_size"] = gsize
-        sres.stats["genome_coverage"] = round(
-            sres.stats.get("total", 0) / gsize, 4
-        )
-    fio.write_scaf_statistics(args.prefix, contig_stats, sres.stats)
+    # -N (scaffold.c -N known_genome_size): drives the NG50/percentage
+    # fields in ScafStat
+    fio.write_scaf_statistics(args.prefix, getattr(args, "genome_size", 0))
     log.info("scaff: %s", sres.stats)
 
 
 def _load_contig_cvg(prefix: str, n: int) -> Optional[np.ndarray]:
     try:
+        # cvg now lives in *.updated.edge (x10, loadGraph.c:391); fall
+        # back to the legacy ContigIndex cvg column for old checkpoints
+        from .io import files as fio
+
+        cvg = fio.read_contig_cvg(prefix, n)
+        if cvg is not None:
+            return cvg
         cvg = np.zeros((n,), np.float64)
         with open(prefix + ".ContigIndex") as fh:
             fh.readline()
             for line in fh:
                 t = line.split()
-                if len(t) >= 3:
+                if len(t) >= 3 and "." in t[2]:
                     cid = int(t[0]) - 1
                     if 0 <= cid < n:
                         cvg[cid] = float(t[2])

@@ -183,31 +183,37 @@ def load_contig_graph(prefix: str) -> cm.ContigGraph:
 
 def write_contigs(prefix: str, g: cm.ContigGraph) -> int:
     records = cm.contig_records(g)
-    contigs = [(c, s, v) for c, s, v, _ in records]
+    # *.contig / *.ContigIndex / *.updated.edge / *.Arc all live in the
+    # reference's DIRECTED id space (output_contig.c:292/333/398): twin
+    # pairs occupy adjacent ids, palindromes one, and the *.contig FASTA
+    # headers carry the rep's directed id (prlContig2nodes keys the map
+    # stage's contig_array off getID(header), prlHashCtg.c:392) — so the
+    # reference binaries' map/scaff stages can consume our contig stage
+    # output and vice versa.
+    lengths = [len(s) for _, s, _, _ in records]
+    pal = [int(g.twin[fwd]) == fwd for _, _, _, fwd in records]
+    d2r = fio.dir_to_ref_ids(pal)
+    contigs = [(int(d2r[2 * i]), s, v)
+               for i, (_, s, v, _) in enumerate(records)]
     n = fio.write_contigs(prefix, contigs)
-    with open(prefix + ".ContigIndex", "w") as fh:
-        fh.write(f"Edge_num {n}\n")
-        for cid, seq, cvg in contigs:
-            fh.write(f"{cid}\t{len(seq)}\t{cvg:.1f}\n")
-    # *.updated.edge + *.Arc (output_updated_edges:333 / output_heavyArcs:398):
-    # surviving contig-level arcs, keyed by directed contig id 2*(cid-1)+dir
-    # (dir 0 = emitted orientation).
-    dcid = {}  # directed edge -> directed contig id
-    upd = []
+    fio.write_contig_index(prefix, lengths, pal)
+    fio.write_updated_edges(
+        prefix,
+        [(len(s), p, cvg) for (_, s, cvg, _), p in zip(records, pal)],
+    )
+    dcid = {}  # directed edge -> our directed contig id 2*(cid-1)+dir
     for cid, seq, cvg, fwd in records:
         t = int(g.twin[fwd])
         dcid[fwd] = 2 * (cid - 1)
         if t != fwd:
             dcid[t] = 2 * (cid - 1) + 1
-        upd.append((cid, len(seq), 1 if t == fwd else 0, cvg))
-    fio.write_updated_edges(prefix, upd)
     arc_lines = []
     for e, d in sorted(dcid.items(), key=lambda kv: kv[1]):
         outs = [
             (dcid[to], m) for to, m in g.live_arcs(e) if to in dcid
         ]
         arc_lines.append((d, outs))
-    fio.write_heavy_arcs(prefix, arc_lines)
+    fio.write_heavy_arcs(prefix, arc_lines, dir2ref=fio.dir_to_ref_ids(pal))
     return n
 
 

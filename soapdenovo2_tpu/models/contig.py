@@ -1047,7 +1047,7 @@ def tour_bus(g: ContigGraph, similarity: float = 0.90, M: int = 1,
         if plan:
             _tb_remap_path(g, times, prev, plan, covs)
             state["changed"] = True
-        merged += 1
+            merged += 1
 
     def tour_bus_arc(origin: int, dest: int, mult_: int, otime: float):
         if int(prev[dest]) == origin or multi[dest]:

@@ -41,13 +41,7 @@ def potential(prefix: str, weight_cutoff: int = 3) -> List[int]:
     distribution, its N50 and the used-contig count, and writes them to
     ``prefix.potential``.
     """
-    lengths: List[int] = []
-    with open(prefix + ".ContigIndex") as fh:
-        fh.readline()
-        for line in fh:
-            t = line.split()
-            if len(t) >= 2:
-                lengths.append(int(t[1]))
+    lengths = [int(v) for v in fio.read_contig_index(prefix).lengths]
     n_dir = 2 * len(lengths)
 
     # downward adjacency over directed contig ids (2*ctg + strand)
@@ -119,21 +113,20 @@ def potential(prefix: str, weight_cutoff: int = 3) -> List[int]:
 def data_prepare(contig_fasta: str, prefix: str, k: int) -> int:
     """-D: import contigs and synthesize the assembly prefix files."""
     records = fio.read_fasta(contig_fasta)
-    contigs: List[Tuple[int, str, float]] = []
+    kept = [(name, seq.upper()) for name, seq in records
+            if len(seq) >= k + 2]
+    pal = [fio.is_palindrome(s) for _, s in kept]
+    d2r = fio.dir_to_ref_ids(pal)
+    contigs: List[Tuple[int, str, float]] = [
+        (int(d2r[2 * i]), s, 0.0) for i, (_, s) in enumerate(kept)
+    ]
     with open(prefix + ".conver", "w") as conv:
-        cid = 0
-        for name, seq in records:
-            seq = seq.upper()
-            if len(seq) < k + 2:
-                continue
-            cid += 1
-            contigs.append((cid, seq, 0.0))
+        for (name, _), (cid, _, _) in zip(kept, contigs):
             conv.write(f"{name}\t{cid}\n")
     fio.write_contigs(prefix, contigs)
-    with open(prefix + ".ContigIndex", "w") as fh:
-        fh.write(f"Edge_num {len(contigs)}\n")
-        for cid, seq, cvg in contigs:
-            fh.write(f"{cid}\t{len(seq)}\t{cvg:.1f}\n")
+    fio.write_contig_index(prefix, [len(s) for _, s, _ in contigs], pal)
+    fio.write_updated_edges(
+        prefix, [(len(s), p, c) for (_, s, c), p in zip(contigs, pal)])
     fio.write_pre_graph_basic(prefix, 0, k, 2 * len(contigs), 0)
     log.info("fusion -D: imported %d contigs (>= k+2) from %s",
              len(contigs), contig_fasta)

@@ -200,10 +200,20 @@ class GapReads:
     anchor_pos: List[int]  # mate read-start position on it
     insert_size: List[int]  # library insert size
     seqs: List[bytes]  # 2-bit-coded read bytes (uint8 codes)
+    # which mate fell in the gap: 1=read1, 2=read2, 0=unknown/long
+    # (the dhflag of output1read_gz, prlRead2Ctg.c:445)
+    dh: List[int] = dataclasses.field(default_factory=list)
 
     @staticmethod
     def empty() -> "GapReads":
         return GapReads([], [], [], [])
+
+    def extend(self, other: "GapReads") -> None:
+        self.anchor_ctg.extend(other.anchor_ctg)
+        self.anchor_pos.extend(other.anchor_pos)
+        self.insert_size.extend(other.insert_size)
+        self.seqs.extend(other.seqs)
+        self.dh.extend(other.dh)
 
     def __len__(self) -> int:
         return len(self.seqs)
@@ -220,6 +230,17 @@ class MapResult:
     n_reads: int
     pe_grads: List[rio.PeGrad]
     gap_reads: "GapReads" = dataclasses.field(default_factory=lambda: GapReads.empty())
+    # asm_flags=4 long-read pool, kept apart so it lands in
+    # *.longReadInGap while PE entries go to *.readInGap.gz
+    long_reads: "GapReads" = dataclasses.field(default_factory=lambda: GapReads.empty())
+
+    def all_gap_reads(self) -> "GapReads":
+        if not len(self.long_reads):
+            return self.gap_reads
+        merged = GapReads.empty()
+        merged.extend(self.gap_reads)
+        merged.extend(self.long_reads)
+        return merged
 
 
 def map_reads(
@@ -232,6 +253,7 @@ def map_reads(
     align_len: int = ALIGN_LEN,
     half_rule: bool = False,
     long_pool: Optional[GapReads] = None,
+    pe_sink=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Map a read stream; returns (read_id, ctg, pos, gap_read_ids, n).
 
@@ -275,6 +297,7 @@ def map_reads(
                 long_pool.anchor_ctg.append(int(ctg[i]))
                 long_pool.anchor_pos.append(int(position[i]))
                 long_pool.insert_size.append(18)
+                long_pool.dh.append(0)
         if gap_pool is not None and batch.start_id % 2 == 0:
             half = batch.n // 2
             m = mapped_np[: 2 * half].reshape(half, 2)
@@ -292,6 +315,22 @@ def map_reads(
                     gap_pool.anchor_ctg.append(int(c2[p, mate_col]))
                     gap_pool.anchor_pos.append(int(p2[p, mate_col]))
                     gap_pool.insert_size.append(insert_size)
+                    gap_pool.dh.append(me_col + 1)
+            if pe_sink is not None:
+                # -f: both mates mapped -> *.PEreadOnContig.gz
+                # (getPEreadOnContig, prlRead2Ctg.c:499)
+                both = m[:, 0] & m[:, 1]
+                for p in np.nonzero(both)[0]:
+                    i1, i2 = 2 * p, 2 * p + 1
+                    pe_sink(
+                        int(batch.lengths[i1]), int(c2[p, 0]),
+                        int(p2[p, 0]),
+                        batch.codes[i1, : batch.lengths[i1]],
+                        int(batch.lengths[i2]), int(c2[p, 1]),
+                        int(p2[p, 1]),
+                        batch.codes[i2, : batch.lengths[i2]],
+                        insert_size,
+                    )
         n_reads += batch.n
 
     # ship the next batch to the device before draining the current one
@@ -344,7 +383,7 @@ def _scan_max_read_len(lib, cap: int = 2048) -> int:
 
 def run_map(cfg, contig_seqs: List[str], k: int,
             batch_size: int = 8192, progress: bool = True,
-            mesh="auto") -> MapResult:
+            mesh="auto", pe_sink=None) -> MapResult:
     """map.c call_align:96 — index contigs, stream scaffolding libraries
     in ascending-insert order, record per-library read-id gradations.
 
@@ -383,6 +422,7 @@ def run_map(cfg, contig_seqs: List[str], k: int,
             gap_pool=gap_pool, insert_size=lib.avg_ins,
             mapper=mapper,
             align_len=align, half_rule=long_ins,
+            pe_sink=pe_sink,
         )
         next_id += n_lib
         grads.append(
@@ -400,11 +440,12 @@ def run_map(cfg, contig_seqs: List[str], k: int,
     # long-read libraries (asm_flags=4): gap-closure only — the
     # prlLongRead2Ctg pass (prlRead2Ctg.c:1080).  Mapped reads spanning
     # >=2 contigs enter the gap pool anchored at their own placement.
+    long_pool = GapReads.empty()
     for lib in cfg.libs_for_gap():
         long_len = _scan_max_read_len(lib, cap=2048)
         if long_len <= 0:
             continue
-        n_before = len(gap_pool)
+        n_before = len(long_pool)
         map_reads(
             native_reads.batch_reads_lib(
                 lib, batch_size, max(cfg.max_rd_len, long_len),
@@ -412,12 +453,12 @@ def run_map(cfg, contig_seqs: List[str], k: int,
             index, progress=False,
             mapper=None,  # long batches have their own shapes
             align_len=max(lib.map_len, 35),  # prlRead2Ctg.c:1201-1202
-            long_pool=gap_pool,
+            long_pool=long_pool,
         )
         if progress:
             log.info(
                 "long reads (asm_flags=4, len<=%d): %d gap reads",
-                long_len, len(gap_pool) - n_before,
+                long_len, len(long_pool) - n_before,
             )
     return MapResult(
         read_id=np.concatenate(all_rid) if all_rid else np.zeros((0,), np.int64),
@@ -427,4 +468,5 @@ def run_map(cfg, contig_seqs: List[str], k: int,
         n_reads=next_id,
         pe_grads=grads,
         gap_reads=gap_pool,
+        long_reads=long_pool,
     )

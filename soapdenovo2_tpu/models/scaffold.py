@@ -274,7 +274,15 @@ class Scaffolder:
             return cid, off, tail, flip
         counts = np.fromiter((len(sc.ctgs) for sc in chains), np.int64,
                              count=n_ch)
+        # the vectorization below relies on every chain being non-empty with
+        # exactly len(ctgs)-1 gaps; fail loudly on producer violations rather
+        # than silently misaligning every later chain's offsets
+        assert counts.min(initial=1) >= 1, "empty scaffold chain"
+        n_gaps = sum(len(sc.gaps) for sc in chains)
         total_m = int(counts.sum())
+        assert n_gaps == total_m - n_ch, (
+            f"gaps/ctgs invariant violated: {n_gaps} gaps for "
+            f"{total_m} members in {n_ch} chains")
         if not total_m:
             return cid, off, tail, flip
         flat = np.fromiter(
@@ -1271,11 +1279,12 @@ def run_scaff(
             (remap[si], j, p) for si, j, p in arc_fills if si in remap
         ]
     gap_seqs: List[str] = []
-    if fill and len(map_result.gap_reads):
+    all_pool = map_result.all_gap_reads()
+    if fill and len(all_pool):
         from . import gapfill
 
         seqs, gap_seqs, fstats = gapfill.fill_gaps(
-            scaffolds, contig_seqs, map_result.gap_reads, progress=progress,
+            scaffolds, contig_seqs, all_pool, progress=progress,
         )
     else:
         seqs = [scaffold_sequence(s, contig_seqs) for s in scaffolds]

@@ -364,11 +364,15 @@ def run_sparse_pregraph(
     unitigs = [(s, c) for s, c in unitigs if len(s) >= k + 2]
     unitigs.sort(key=lambda x: (-len(x[0]), x[0]))
     records = [(i + 1, s, c) for i, (s, c) in enumerate(unitigs)]
+    pal = [fio.is_palindrome(s) for _, s, _ in records]
+    d2r = fio.dir_to_ref_ids(pal)
+    # directed rep ids in the *.contig headers (see checkpoint.write_contigs)
+    records = [(int(d2r[2 * i]), s, c)
+               for i, (_, s, c) in enumerate(records)]
     fio.write_contigs(prefix, records)
-    with open(prefix + ".ContigIndex", "w") as fh:
-        fh.write(f"Edge_num {len(records)}\n")
-        for cid, seq, cvg in records:
-            fh.write(f"{cid}\t{len(seq)}\t{cvg:.1f}\n")
+    fio.write_contig_index(prefix, [len(s) for _, s, _ in records], pal)
+    fio.write_updated_edges(
+        prefix, [(len(s), p, c) for (_, s, c), p in zip(records, pal)])
     if progress:
         from ..utils.simulate import assembly_stats
 

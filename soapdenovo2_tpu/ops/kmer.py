@@ -50,6 +50,8 @@ def validate_k(k: int, allow_even: bool = False) -> None:
     internal (k+1)-mer patch-table extraction is legitimately even —
     canonical() remains well-defined (palindrome => is_rc False)."""
     if not (13 <= k <= 128) or (k % 2 == 0 and not allow_even):
+        if allow_even:
+            raise ValueError(f"k must be in [13, 128], got {k}")
         raise ValueError(f"k must be odd and in [13, 127], got {k}")
 
 

@@ -57,8 +57,9 @@ def test_fusion_scaffolds_external_contigs(tmp_path):
     with _gz.open(prefix + ".readOnContig.gz", "rt") as src, \
             open(prefix + ".readOnContig", "w") as dst:
         dst.write(src.read())
-    with _gz.open(prefix + ".readInGap.gz", "rt") as src, \
-            open(prefix + ".readInGap", "w") as dst:
+    # readInGap is BINARY (reference record layout) — copy raw bytes
+    with _gz.open(prefix + ".readInGap.gz", "rb") as src, \
+            open(prefix + ".readInGap", "wb") as dst:
         dst.write(src.read())
     os.remove(prefix + ".readOnContig.gz")
     os.remove(prefix + ".readInGap.gz")

@@ -57,7 +57,7 @@ def test_long_reads_enter_gap_pool(tmp_path):
     assert cfg.libs_for_gap(), "asm_flags=4 lib must be recognized"
 
     mres = mp.run_map(cfg, contigs, K, progress=False)
-    pool = mres.gap_reads
+    pool = mres.long_reads
     assert len(pool) >= 2  # the two junction-spanning reads
     assert all(i == 18 for i in pool.insert_size)
     # anchors point at real directed contigs
@@ -111,7 +111,7 @@ def test_long_reads_close_gap_end_to_end(tmp_path):
     cres = cm.run_contig(pre, progress=False)
     contigs = [s for _, s, _ in cm.contig_sequences(cres.graph, min_len=K + 2)]
     mres = mp.run_map(cfg, contigs, K, progress=False)
-    assert len(mres.gap_reads) > 0
+    assert len(mres.all_gap_reads()) > 0
     sres = sf.run_scaff(mres, contigs, fill=True, progress=False, k=K)
     best = max(sres.seqs, key=len)
     assert len(best) >= 2800

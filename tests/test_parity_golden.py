@@ -45,6 +45,19 @@ def test_golden_parity_small(tmp_path):
     _assert_parity(res)
 
 
+@needs_ref
+def test_golden_interop_ref_map(tmp_path):
+    """Stage mixing: our pregraph+contig -> REFERENCE binary map -> our
+    scaff consuming the reference's *.readOnContig.gz/*.readInGap.gz
+    (prlRead2Ctg.c:868-880 formats, VERDICT interop item)."""
+    from parity_check import run_interop
+
+    res = run_interop(str(tmp_path), genome_len=20_000, k=23)
+    assert res["scaffold"]["N50"] >= 0.9 * res["genome_len"]
+    assert res["matched"] >= 0.95 * res["genome_len"]
+    assert res["mismatched"] <= 200
+
+
 @pytest.mark.slow
 @needs_ref
 def test_golden_parity_50k(tmp_path):
