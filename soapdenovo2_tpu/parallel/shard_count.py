@@ -194,6 +194,13 @@ class ShardedCountStream:
         self.rows_per_flushblock = self.n_shards * bucket_cap  # per shard
         self.capacity = init_cap_per_shard  # per shard
         self.max_len = max_len
+        self.batch_b = batch_b
+        # multi-host (DCN): with jax.distributed initialized, the mesh
+        # spans every process's devices; each process feeds its OWN slice
+        # of the batch and every host-side control decision below derives
+        # from fully-replicated reductions so the processes never diverge
+        # (SURVEY.md 2.4: k-mer table sharded over devices/hosts).
+        self.n_proc = jax.process_count()
         self._pending: list = []
         self._table = None  # (keys, covs) sharded; lazy init
         self._n_bound = 0  # host upper bound on per-shard live entries
@@ -202,6 +209,18 @@ class ShardedCountStream:
         self._route = self._build_route()
         self._sh2 = NamedSharding(mesh, P(AXIS, None))
         self._sh1 = NamedSharding(mesh, P(AXIS))
+
+    # -- multi-host data placement -----------------------------------------
+
+    def _put(self, local: np.ndarray, sharding, global_rows: int):
+        """Build a (possibly multi-process) global array from this
+        process's row slice."""
+        if self.n_proc == 1:
+            return jax.device_put(jnp.asarray(local), sharding)
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(local),
+            (global_rows,) + tuple(local.shape[1:]),
+        )
 
     # -- jitted programs ----------------------------------------------------
 
@@ -222,32 +241,39 @@ class ShardedCountStream:
             return (
                 bw.reshape(n_shards * cap, w),
                 bf.reshape(n_shards * cap),
-                dropped[None],
+                jax.lax.psum(dropped[None], AXIS),  # replicated: every
+                # process reads the same total (multi-host safety)
             )
 
         fn = jax.shard_map(
             per_shard,
             mesh=self.mesh,
             in_specs=(P(AXIS, None), P(AXIS)),
-            out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS), P()),
         )
         return jax.jit(fn)
 
     @functools.lru_cache(maxsize=None)
     def _reduce_fn(self, rcap: int, fan_in: int):
-        def per_shard(keys, flank):
+        # takes the fan_in pending blocks as SEPARATE args and stacks
+        # inside jit: host-side jnp.stack would not be legal on
+        # multi-process (non-fully-addressable) arrays
+        def per_shard(*args):
+            keys = args[:fan_in]
+            flank = args[fan_in:]
             raws = tuple(
                 sc.RawRows(keys[i], flank[i], jnp.zeros((), jnp.int32))
                 for i in range(fan_in)
             )
             t = sc.reduce_raws(raws, rcap)
-            return t.keys, t.covs, t.n[None]
+            n_max = jax.lax.pmax(t.n[None], AXIS)
+            return t.keys, t.covs, t.n[None], n_max
 
         fn = jax.shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(None, AXIS, None), P(None, AXIS)),
-            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+            in_specs=(P(AXIS, None),) * fan_in + (P(AXIS),) * fan_in,
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P()),
         )
         return jax.jit(fn)
 
@@ -257,22 +283,70 @@ class ShardedCountStream:
             a = sc.KmerTable(keys=tk, covs=tc, n=jnp.zeros((), jnp.int32))
             b = sc.KmerTable(keys=lk, covs=lc, n=jnp.zeros((), jnp.int32))
             m = sc.merge_sorted_tables(a, b, capacity)
-            return m.keys, m.covs, m.n[None]
+            n_max = jax.lax.pmax(m.n[None], AXIS)
+            return m.keys, m.covs, m.n[None], n_max
 
         fn = jax.shard_map(
             per_shard,
             mesh=self.mesh,
             in_specs=(P(AXIS, None),) * 4,
-            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P()),
         )
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=None)
+    def _pad_block_fn(self):
+        rows, w = self.rows_per_flushblock, self.w
+
+        def per_shard():
+            return (
+                jnp.full((rows, w), 0xFFFFFFFF, jnp.uint32),
+                jnp.zeros((rows,), jnp.uint32),
+            )
+
+        fn = jax.shard_map(per_shard, mesh=self.mesh, in_specs=(),
+                           out_specs=(P(AXIS, None), P(AXIS)))
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=None)
+    def _init_table_fn(self, capacity: int):
+        w = self.w
+
+        def per_shard():
+            return (
+                jnp.full((capacity, w), 0xFFFFFFFF, jnp.uint32),
+                jnp.zeros((capacity, sc.N_COV), jnp.uint16),
+            )
+
+        fn = jax.shard_map(per_shard, mesh=self.mesh, in_specs=(),
+                           out_specs=(P(AXIS, None), P(AXIS, None)))
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=None)
+    def _grow_fn(self, old_cap: int, new_cap: int):
+        w = self.w
+
+        def per_shard(tk, tc):
+            gk = jnp.full((new_cap - old_cap, w), 0xFFFFFFFF, jnp.uint32)
+            gc = jnp.zeros((new_cap - old_cap, sc.N_COV), jnp.uint16)
+            return (
+                jnp.concatenate([tk, gk], axis=0),
+                jnp.concatenate([tc, gc], axis=0),
+            )
+
+        fn = jax.shard_map(per_shard, mesh=self.mesh,
+                           in_specs=(P(AXIS, None), P(AXIS, None)),
+                           out_specs=(P(AXIS, None), P(AXIS, None)))
         return jax.jit(fn)
 
     # -- streaming API ------------------------------------------------------
 
     def add_batch(self, codes: np.ndarray, lengths: np.ndarray, n: int):
-        """Feed one (B, L) batch (B must divide the mesh)."""
-        codes_d = jax.device_put(jnp.asarray(codes), self._sh2)
-        lengths_d = jax.device_put(jnp.asarray(lengths), self._sh1)
+        """Feed one batch.  Single-process: the full (B, L) batch.
+        Multi-process: this process's (B/n_proc, L) row slice — every
+        process must call add_batch the same number of times."""
+        codes_d = self._put(codes, self._sh2, self.batch_b)
+        lengths_d = self._put(lengths, self._sh1, self.batch_b)
         bw, bf, dropped = self._route(codes_d, lengths_d)
         self._pending.append((bw, bf, dropped))
         self.n_reads += n
@@ -285,64 +359,38 @@ class ShardedCountStream:
         fan_in = self.FLUSH_N
         rows = self.rows_per_flushblock
         while len(self._pending) < fan_in:
-            pad_k = jnp.full(
-                (self.n_shards * rows, self.w), 0xFFFFFFFF, jnp.uint32
-            )
-            pad_f = jnp.zeros((self.n_shards * rows,), jnp.uint32)
-            self._pending.append((
-                jax.device_put(pad_k, self._sh2),
-                jax.device_put(pad_f, self._sh1),
-                None,
-            ))
-        keys = jnp.stack([p[0] for p in self._pending], axis=0)
-        flank = jnp.stack([p[1] for p in self._pending], axis=0)
+            pad_k, pad_f = self._pad_block_fn()()
+            self._pending.append((pad_k, pad_f, None))
         for p in self._pending:
             if p[2] is not None:
-                self.dropped += int(np.asarray(p[2]).sum())
+                # replicated psum scalar: same on every process
+                self.dropped += int(np.asarray(p[2])[0])
+        args = [p[0] for p in self._pending] + [p[1] for p in self._pending]
         rcap = min(self.capacity, fan_in * rows)
-        lk, lc, ln = self._reduce_fn(rcap, fan_in)(keys, flank)
-        ln_max = int(np.asarray(ln).max())  # one readback per flush
+        lk, lc, ln, lmax = self._reduce_fn(rcap, fan_in)(*args)
+        ln_max = int(np.asarray(lmax)[0])  # replicated readback
         if ln_max > rcap:
             rcap = _next_pow2(ln_max)
-            lk, lc, ln = self._reduce_fn(rcap, fan_in)(keys, flank)
-            ln_max = int(np.asarray(ln).max())
+            lk, lc, ln, lmax = self._reduce_fn(rcap, fan_in)(*args)
+            ln_max = int(np.asarray(lmax)[0])
         if self._n_bound + ln_max > self.capacity:
             self.capacity = _next_pow2((self._n_bound + ln_max) * 2)
         if self._table is None:
-            tk = jax.device_put(
-                jnp.full((self.n_shards * self.capacity, self.w),
-                         0xFFFFFFFF, jnp.uint32),
-                self._sh2,
-            )
-            tc = jax.device_put(
-                jnp.zeros((self.n_shards * self.capacity, sc.N_COV),
-                          jnp.uint16),
-                self._sh2,
-            )
+            tk, tc = self._init_table_fn(self.capacity)()
         else:
             tk, tc, cur_cap = self._table
             if cur_cap < self.capacity:
-                grow = self.capacity - cur_cap
-                gk = jnp.full((self.n_shards, grow, self.w), 0xFFFFFFFF,
-                              jnp.uint32)
-                gc = jnp.zeros((self.n_shards, grow, sc.N_COV), jnp.uint16)
-                tk = jnp.concatenate(
-                    [tk.reshape(self.n_shards, cur_cap, self.w), gk], axis=1
-                ).reshape(self.n_shards * self.capacity, self.w)
-                tc = jnp.concatenate(
-                    [tc.reshape(self.n_shards, cur_cap, sc.N_COV), gc], axis=1
-                ).reshape(self.n_shards * self.capacity, sc.N_COV)
-                tk = jax.device_put(tk, self._sh2)
-                tc = jax.device_put(tc, self._sh2)
+                tk, tc = self._grow_fn(cur_cap, self.capacity)(tk, tc)
         # pad the L1 run to the table capacity per shard (merge needs no
         # shape match, but keeping one merge shape per capacity avoids
         # recompiles); merge_sorted_ops pads internally, so pass as-is.
-        mk, mc, mn = self._merge_fn(self.capacity)(tk, tc, lk, lc)
+        mk, mc, mn, mmax = self._merge_fn(self.capacity)(tk, tc, lk, lc)
         self._table = (mk, mc, self.capacity)
         self._n = mn
         # exact per-shard live max (the ln-sum bound overcounts
-        # cross-flush duplicates and inflates capacity)
-        self._n_bound = int(np.asarray(mn).max())
+        # cross-flush duplicates and inflates capacity); pmax-replicated
+        # so every process grows capacity identically
+        self._n_bound = int(np.asarray(mmax)[0])
         self._pending = []
 
     def finish(self):
@@ -351,13 +399,13 @@ class ShardedCountStream:
         sorted sub-table."""
         self._flush()
         if self._table is None:
-            tk = jnp.full((self.n_shards * self.capacity, self.w),
-                          0xFFFFFFFF, jnp.uint32)
-            tc = jnp.zeros((self.n_shards * self.capacity, sc.N_COV),
-                           jnp.uint16)
-            return tk, tc, jnp.zeros((self.n_shards,), jnp.int32)
+            tk, tc = self._init_table_fn(self.capacity)()
+            zn = jax.jit(jax.shard_map(
+                lambda: jnp.zeros((1,), jnp.int32), mesh=self.mesh,
+                in_specs=(), out_specs=P(AXIS)))()
+            return tk, tc, zn
         tk, tc, _ = self._table
-        return tk, tc, self._n.astype(jnp.int32)
+        return tk, tc, self._n  # int32 (n,) per-shard live counts
 
 
 def _next_pow2(x: int) -> int:
