@@ -150,6 +150,8 @@ def fill_gaps(
         else:
             for key, lf, rf, reads, gap_est in jobs:
                 res = _walk_host(lf, rf, reads, gap_est, k, min_cov)
+                if res is None:
+                    res = _dfs_host(lf, rf, reads, gap_est, k, min_cov)
                 if res is not None:
                     stats.filled += 1
                 bridges[key] = res
@@ -214,13 +216,27 @@ def fill_gaps(
 
 def _flank_overlap(left: str, right: str, gap_est: int, k: int
                    ) -> Optional[int]:
-    """Negative/tiny gap: direct overlap of flanks (readsCrossGap-style).
-    Returns the overlap length or None."""
+    """Negative/tiny gap: direct overlap of flanks.  Exact match first,
+    then a mismatch-tolerant scan at >=90% identity — the readsCrossGap
+    banded-DP consensus cutoff (localAsm.c compareSequences:1727 accepts
+    alignments with similarity >= 0.9), so a SNP/error in the overlap no
+    longer kills closures the reference makes."""
     max_olap = min(len(left), len(right), max(gap_est, 0) + 3 * k + 50)
+    if max_olap < k:
+        return None
+    lb = np.frombuffer(left[-max_olap:].encode(), np.uint8)
+    rb = np.frombuffer(right[:max_olap].encode(), np.uint8)
+    best_tolerant = None
     for n in range(max_olap, k - 1, -1):
-        if left[-n:] == right[:n]:
+        mism = int((lb[max_olap - n:] != rb[:n]).sum())
+        if mism == 0:
             return n
-    return None
+        if best_tolerant is None and mism <= max(1, n // 10):
+            # don't early-return: a longer overlap with <=10% mismatches
+            # must not shadow a shorter EXACT one (checked first above in
+            # descending order, exact wins at the same n)
+            best_tolerant = n
+    return best_tolerant
 
 
 def _fill_jobs_device(
@@ -236,6 +252,8 @@ def _fill_jobs_device(
     dev_jobs = [jb for jb in jobs if len(jb[3]) <= R_MAX]
     for key, lf, rf, reads, gap_est in host_jobs:
         res = _walk_host(lf, rf, reads, gap_est, k, min_cov)
+        if res is None:
+            res = _dfs_host(lf, rf, reads, gap_est, k, min_cov)
         if res is not None:
             stats.filled += 1
         bridges[key] = res
@@ -280,8 +298,17 @@ def _fill_jobs_device(
     success = np.asarray(res.success)
     fill_len = np.asarray(res.fill_len)
     bases = np.asarray(res.bases)
+    branched = np.asarray(res.branched)
     for g, (key, lf, rf, reads, gap_est) in enumerate(dev_jobs):
-        if success[g]:
+        if branched[g]:
+            # the lockstep walk hit a real branch: greedy may have taken
+            # the wrong arm — re-run this gap through the bounded branch
+            # DFS (searchFgap:792 explores every arm)
+            r = _dfs_host(lf, rf, reads, gap_est, k, min_cov)
+            if r is not None:
+                stats.filled += 1
+            bridges[key] = r
+        elif success[g]:
             seq = "".join(_CODE2CHAR[b] for b in bases[g, : fill_len[g]])
             bridges[key] = ("fill", seq)
             stats.filled += 1
@@ -289,12 +316,11 @@ def _fill_jobs_device(
             bridges[key] = None
 
 
-def _walk_host(
-    lf: str, rf: str, reads: List[str], gap_est: int, k: int, min_cov: int
-) -> Optional[Tuple[str, str]]:
-    """Host reference walk (identical semantics to the device kernel;
-    kept for parity tests and oversized pools)."""
-    # k-mer extension table from the gap reads (both strands) + flanks
+def _build_walk_tables(
+    lf: str, rf: str, reads: List[str], k: int, min_cov: int
+) -> Tuple[Dict[str, Dict[str, int]], Dict[str, int]]:
+    """k-mer extension table from the gap reads (both strands) + flanks,
+    and the right-flank landing positions (localAsm.c putKmer2DBgraph)."""
     nxt: Dict[str, Dict[str, int]] = {}
 
     def add_seq(s: str, w: int = 1):
@@ -314,15 +340,20 @@ def _walk_host(
     add_seq(lf, w=min_cov)  # flanks always trusted
     add_seq(rf, w=min_cov)
 
-    # kmers of the right flank -> landing positions
     landing: Dict[str, int] = {}
     for i in range(len(rf) - k + 1):
         km = rf[i : i + k]
         if "N" not in km and km not in landing:
             landing[km] = i
+    return nxt, landing
 
-    # greedy highest-coverage walk from the left flank until a right-flank
-    # k-mer is reached (searchFgap's flank-to-flank path, greedy variant)
+
+def _walk_host(
+    lf: str, rf: str, reads: List[str], gap_est: int, k: int, min_cov: int
+) -> Optional[Tuple[str, str]]:
+    """Host greedy walk (identical semantics to the device kernel; kept
+    for parity tests and as the first, cheap attempt)."""
+    nxt, landing = _build_walk_tables(lf, rf, reads, k, min_cov)
     max_len = gap_est + 4 * k + 200
     bridge: List[str] = []
     km = lf[-k:]
@@ -341,3 +372,65 @@ def _walk_host(
         bridge.append(b)
         km = km[1:] + b
     return None
+
+
+MAX_ROUTES = 10  # localAsm.c MaxRouteNum
+TRACE_LIMIT = 4000  # the UPlimit trace-counter bound (localAsm.c)
+
+
+def _dfs_host(
+    lf: str, rf: str, reads: List[str], gap_est: int, k: int, min_cov: int,
+    gl_diff: int = 50,
+) -> Optional[Tuple[str, str]]:
+    """Bounded branch DFS over the gap's mini de Bruijn graph — the
+    searchFgap path search (localAsm.c traceAlongDBgraph:614): explore
+    EVERY extension with coverage >= min_cov depth-first (not just the
+    greedy max), bounded by a trace counter and the [gap-GLDiff,
+    gap+GLDiff] length window, collect up to MaxRouteNum flank-to-flank
+    routes, and pick the one with the highest average link weight
+    (searchFgap:869's maxLink choice)."""
+    nxt, landing = _build_walk_tables(lf, rf, reads, k, min_cov)
+    max_len = max(gap_est + gl_diff + 2 * k, 10)
+    routes: List[Tuple[float, int, str]] = []  # (avg_links, land, bridge)
+    counter = [0]
+
+    def dfs(km: str, bridge: List[str], links: int):
+        counter[0] += 1
+        if counter[0] > TRACE_LIMIT or len(routes) >= MAX_ROUTES:
+            return
+        if len(bridge) > max_len:
+            return
+        land = landing.get(km)
+        if land is not None and len(bridge) >= k + land:
+            fill_len = len(bridge) - k - land
+            avg = links / max(len(bridge), 1)
+            routes.append((avg, land, "".join(bridge)[:fill_len]))
+            return
+        d = nxt.get(km)
+        if not d:
+            return
+        # high-coverage extensions first: best routes surface before the
+        # trace budget runs out
+        for b, c in sorted(d.items(), key=lambda kv: -kv[1]):
+            if c < min_cov:
+                continue
+            bridge.append(b)
+            dfs(km[1:] + b, bridge, links + c)
+            bridge.pop()
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, max_len + 500))
+    try:
+        dfs(lf[-k:], [], 0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    if not routes:
+        return None
+    # earliest landing on ctg2 first (searchFgap's minEnd), then max
+    # average links
+    min_land = min(r[1] for r in routes)
+    cands = [r for r in routes if r[1] == min_land]
+    best = max(cands, key=lambda r: r[0])
+    return ("fill", best[2])

@@ -42,6 +42,10 @@ class GapResult(NamedTuple):
     success: jax.Array    # (G,) bool
     fill_len: jax.Array   # (G,) int32 — bases of the bridge to keep
     bases: jax.Array      # (G, MAX_WALK) uint8 base codes walked
+    # some live step had a SECOND extension with cov >= min_cov: the
+    # greedy walk may have picked the wrong branch — callers re-run such
+    # gaps through the host DFS (searchFgap explores every branch)
+    branched: jax.Array   # (G,) bool
 
 
 def _one_gap_table(words, nxt, wt, valid, capacity: int):
@@ -191,7 +195,7 @@ def fill_gap_batch(
     lookup_g = jax.vmap(sc.lookup_kmers)  # per-gap tables
 
     def step(carry, t):
-        km, done, success, fill_len, dead = carry
+        km, done, success, fill_len, dead, branched = carry
         # per-gap walk budget (the host loop bound max_len)
         over = (t >= batch.limit) & ~done
         dead = dead | over
@@ -217,6 +221,10 @@ def fill_gap_batch(
         b = jnp.argmax(score, axis=-1).astype(jnp.uint32)  # max cov, then base
         c = jnp.take_along_axis(wrow, b[:, None].astype(jnp.int32),
                                 axis=1)[:, 0]
+        # second-best extension weight: branch ambiguity detector
+        wrow2 = wrow.at[jnp.arange(G), b.astype(jnp.int32)].set(0)
+        c2 = jnp.max(wrow2, axis=-1)
+        branched = branched | ((c2 >= min_cov) & ~done)
         die = (c < min_cov) & ~done
         dead = dead | die
         done = done | die
@@ -224,7 +232,7 @@ def fill_gap_batch(
         km = jnp.where(done[:, None], km, km_next)
         base_out = jnp.where(done, jnp.uint8(kops.BASE_N),
                              b.astype(jnp.uint8))
-        return (km, done, success, fill_len, dead), base_out
+        return (km, done, success, fill_len, dead, branched), base_out
 
     init = (
         km0,
@@ -232,12 +240,14 @@ def fill_gap_batch(
         jnp.zeros((G,), bool),
         jnp.zeros((G,), jnp.int32),
         ~start_ok,
+        jnp.zeros((G,), bool),
     )
-    (km, done, success, fill_len, dead), bases = jax.lax.scan(
+    (km, done, success, fill_len, dead, branched), bases = jax.lax.scan(
         step, init, jnp.arange(max_walk, dtype=jnp.int32)
     )
     return GapResult(
         success=success & batch.live,
         fill_len=fill_len,
         bases=jnp.transpose(bases),  # (G, MAX_WALK)
+        branched=branched & batch.live,
     )
