@@ -46,6 +46,17 @@ class ContigIndex:
     flip: np.ndarray  # (C,) bool — canonical k-mer is the RC of the contig k-mer
     ctg_len: np.ndarray  # (2N,) int32
     n_contigs: int  # undirected count N
+    # prefix directory over keys (sortcount.build_prefix_dir): one gather
+    # narrows each streamed lookup to its bucket
+    pdir: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((2,), np.int32))
+    pdir_steps: int = 1
+    pdir_shift: int = 0
+
+    def with_dir(self) -> "ContigIndex":
+        d, st, sh = sc.build_prefix_dir(self.keys, self.k)
+        self.pdir, self.pdir_steps, self.pdir_shift = d, st, sh
+        return self
 
 
 def build_contig_index(contig_seqs: List[str], k: int,
@@ -90,7 +101,7 @@ def build_contig_index(contig_seqs: List[str], k: int,
         w = kops.num_words(k)
         return ContigIndex(k, np.zeros((0, w), np.uint32),
                            np.zeros((0,), np.int32), np.zeros((0,), np.int32),
-                           np.zeros((0,), bool), ctg_len, n)
+                           np.zeros((0,), bool), ctg_len, n).with_dir()
     keys = np.concatenate(all_keys)
     cid = np.concatenate(all_cid)
     pos = np.concatenate(all_pos)
@@ -107,12 +118,14 @@ def build_contig_index(contig_seqs: List[str], k: int,
     return ContigIndex(
         k=k, keys=keys[uniq], cid=cid[uniq], pos=pos[uniq],
         flip=flip[uniq], ctg_len=ctg_len, n_contigs=n,
-    )
+    ).with_dir()
 
 
-@functools.partial(jax.jit, static_argnames=("k", "align_len", "half_rule"))
+@functools.partial(jax.jit, static_argnames=(
+    "k", "align_len", "half_rule", "pdir_steps", "pdir_shift"))
 def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
-               align_len: int = ALIGN_LEN, half_rule: bool = False):
+               align_len: int = ALIGN_LEN, half_rule: bool = False,
+               pdir=None, pdir_steps: int = 0, pdir_shift: int = 0):
     """Vectorized parse1read over a read batch.
 
     Returns (ctg (B,), position (B,), mapped (B,), multi_ctg (B,)):
@@ -127,7 +140,11 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
     sizes the required hit count (parse1read:270-271).
     """
     out = kops.extract_kmers(codes, lengths, k)
-    idx = sc.lookup_kmers(keys, out["words"])  # (B, P)
+    if pdir is not None:
+        idx = sc.lookup_kmers_dir(keys, out["words"], pdir,
+                                  pdir_steps, pdir_shift)  # (B, P)
+    else:
+        idx = sc.lookup_kmers(keys, out["words"])  # (B, P)
     ok = (idx >= 0) & out["valid"]
     safe = jnp.maximum(idx, 0)
     hit_cid = jnp.where(ok, cid[safe], -1)  # (B, P)
@@ -138,21 +155,29 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
     fwd = hit_flip == read_flip
 
     B, P = hit_cid.shape
-    # per-read contig vote: count[b,p] = #hits of the same contig.  The
-    # (B, P, P) bool tensor is O(P^2) but bounded: ~134 MB at the default
-    # batch 8192 x 150 bp reads, a sub-ms VPU pass on v5e — a sort-based
-    # O(P log P) version saves memory only for read lengths >> 1 kb,
-    # where callers should shrink the batch instead.
-    same = (hit_cid[:, :, None] == hit_cid[:, None, :]) & (
-        hit_cid[:, :, None] >= 0
+    # per-read contig vote, SORT-based (O(P log P) per read instead of the
+    # former (B, P, P) masked-comparison tensor — 134 MB at 8192x150 bp
+    # and quadratic for long reads): sort each row's hits by contig id
+    # (stable, so read order is kept within a run), then run-length
+    # arithmetic gives every hit its contig's total count and run head.
+    iota = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+    sort_key = jnp.where(hit_cid >= 0, hit_cid, jnp.int32(2**30))
+    key_s, p_s = jax.lax.sort((sort_key, iota), num_keys=1, is_stable=True)
+    valid_s = key_s < 2**30
+    new = jnp.concatenate(
+        [jnp.ones((B, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1
+    ) & valid_s  # run heads (first occurrence in read order per contig)
+    pos_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    # start of each element's run / start of the NEXT run -> run length
+    run_start = jax.lax.cummax(jnp.where(new, pos_idx, 0), axis=1)
+    next_is_head = jnp.concatenate(
+        [new[:, 1:], jnp.ones((B, 1), bool)], axis=1
     )
-    count = jnp.sum(same, axis=2)  # (B, P)
-    first_occ = (
-        jnp.cumsum(same, axis=2)[
-            jnp.arange(B)[:, None], jnp.arange(P)[None, :], jnp.arange(P)[None, :]
-        ]
-        == 1
-    )  # hit at p is the first occurrence of its contig
+    nxt_start = jax.lax.cummin(
+        jnp.where(next_is_head, pos_idx + 1, P), axis=1, reverse=True
+    )
+    count_s = jnp.where(valid_s, nxt_start - run_start, 0)  # (B, P)
+
     # multi threshold from the per-library ALIGNLEN (see docstring)
     if half_rule:
         eff = jnp.maximum(jnp.int32(align_len), lengths // 2 + 1)
@@ -160,12 +185,17 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
         eff = jnp.int32(align_len)
     alen = jnp.minimum(lengths, eff)
     multi = jnp.maximum(alen - k + 1, 2)  # (B,)
-    score = jnp.where(first_occ & (count >= multi[:, None]), count, 0)
-    best_p = jnp.argmax(score, axis=1)  # first max
-    best_score = jnp.take_along_axis(score, best_p[:, None], axis=1)[:, 0]
+    # winner: max count, ties to the contig whose FIRST hit comes
+    # earliest in read order (parse1read scans hits in order and takes a
+    # strictly greater count to switch, prlRead2Ctg.c:322)
+    elig = new & (count_s >= multi[:, None])
+    score = jnp.where(elig, count_s * (P + 1) + (P - p_s), 0)
+    best_sp = jnp.argmax(score, axis=1)  # index in SORTED order
+    best_score = jnp.take_along_axis(score, best_sp[:, None], axis=1)[:, 0]
     mapped = best_score > 0
 
     bidx = jnp.arange(B)
+    best_p = p_s[bidx, best_sp]  # original read offset of the first hit
     c2t = hit_cid[bidx, best_p]  # even id
     p0 = hit_pos[bidx, best_p]
     i0 = best_p  # read offset of the hit k-mer
@@ -176,7 +206,7 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
 
     # counter2: distinct contigs with >=2 hits (>=1 for k>32) -> gap read
     thresh = 2 if k < 32 else 1
-    n_multi = jnp.sum(first_occ & (count >= thresh), axis=1)
+    n_multi = jnp.sum(new & (count_s >= thresh), axis=1)
     multi_ctg = n_multi > 1
     return (
         jnp.where(mapped, ctg, -1),
@@ -270,6 +300,7 @@ def map_reads(
     """
     rid_list, ctg_list, pos_list, gap_list = [], [], [], []
     keys = jnp.asarray(index.keys)
+    pdir_dev = jnp.asarray(index.pdir)
     cid = jnp.asarray(index.cid)
     pos_a = jnp.asarray(index.pos)
     flip = jnp.asarray(index.flip.astype(np.int8))
@@ -348,6 +379,8 @@ def map_reads(
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
                 keys, cid, pos_a, flip, clen,
                 align_len=align_len, half_rule=half_rule,
+                pdir=pdir_dev, pdir_steps=index.pdir_steps,
+                pdir_shift=index.pdir_shift,
             )
         if in_flight is not None:
             consume(*in_flight)

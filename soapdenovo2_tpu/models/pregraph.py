@@ -314,6 +314,9 @@ def read_paths_batch(
     patch_keys,
     patch_edge,
     patch_twin,
+    table_dir=None,
+    dir_steps: int = 0,
+    dir_shift: int = 0,
 ):
     """Map one read batch onto edges; emit per-position edge hits.
 
@@ -322,7 +325,11 @@ def read_paths_batch(
     ``search1kmerPlus:550`` patch lookups.
     """
     out = kops.extract_kmers(codes, lengths, k)
-    idx = sc.lookup_kmers(table_keys, out["words"])  # (B, P)
+    if table_dir is not None:
+        idx = sc.lookup_kmers_dir(table_keys, out["words"], table_dir,
+                                  dir_steps, dir_shift)  # (B, P)
+    else:
+        idx = sc.lookup_kmers(table_keys, out["words"])  # (B, P)
     orient = out["is_rc"].astype(jnp.int32)
     state = jnp.where(idx >= 0, idx * 2 + orient, 0)
     hit = jnp.where(
@@ -344,12 +351,17 @@ def read_paths_batch(
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(
+    jax.jit, static_argnames=("k", "dir_steps", "dir_shift")
+)
 def _arc_pairs_from_batch(codes, lengths, k, table_keys, state_edge, state_rank,
-                          patch_keys, patch_edge, patch_twin):
+                          patch_keys, patch_edge, patch_twin,
+                          table_dir=None, dir_steps: int = 0,
+                          dir_shift: int = 0):
     hits = read_paths_batch(
         codes, lengths, k, table_keys, state_edge, state_rank,
         patch_keys, patch_edge, patch_twin,
+        table_dir, dir_steps, dir_shift,
     )
     prev = _last_seen_scan(hits)
     is_arc = (hits >= 0) & (prev >= 0) & (hits != prev)
@@ -376,6 +388,12 @@ def build_arcs(
     patch_keys = jnp.asarray(eg.patch_keys)
     patch_edge = jnp.asarray(eg.patch_edge)
     patch_twin = jnp.asarray(eg.patch_twin)
+    # prefix directory: cuts the per-kmer lookup from log2(C) to
+    # ~log2(max_bucket) dependent gathers
+    tdir_np, dsteps, dshift = sc.build_prefix_dir(
+        np.asarray(table.keys), k
+    )
+    table_dir = jnp.asarray(tdir_np)
     marker = np.zeros((eg.n_edges,), np.int32)
     paths: Optional[List[np.ndarray]] = [] if record_paths else None
     pending: list = []
@@ -427,6 +445,7 @@ def build_arcs(
             consume(*_arc_pairs_from_batch(
                 codes_d, lengths_d, k, table.keys, state_edge, state_rank,
                 patch_keys, patch_edge, patch_twin,
+                table_dir, dsteps, dshift,
             ), n)
         in_flight = dev
     if in_flight is not None:
@@ -434,6 +453,7 @@ def build_arcs(
         consume(*_arc_pairs_from_batch(
             codes_d, lengths_d, k, table.keys, state_edge, state_rank,
             patch_keys, patch_edge, patch_twin,
+            table_dir, dsteps, dshift,
         ), n)
     flush()
     return arcs, marker, paths

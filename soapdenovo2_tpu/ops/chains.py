@@ -166,12 +166,98 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
     )
 
 
+# above this state count the label pass runs on the host CPU: the axon
+# TPU worker crashes ("kernel fault") inside the 33M-state doubling
+# gathers — observed twice at 5 Mb scale (r3) — and a worker crash costs
+# 15-30 min of tunnel recovery, far more than the ~10 s numpy pass
+LABEL_HOST_THRESHOLD = 1 << 23
+
+
+def _label_core_numpy(on, nx, with_cycles: bool):
+    """Exact numpy mirror of _label_core (same pass structure), for
+    graphs past LABEL_HOST_THRESHOLD."""
+    import numpy as np
+
+    S = nx.shape[0]
+    steps = _doubling_steps(S)
+    sidx = np.arange(S, dtype=np.int64)
+    nxt_safe = np.where(nx >= 0, nx, 0)
+    nxt_on = (nx >= 0) & on[nxt_safe]
+    flip_nxt = np.where((sidx & 1) == 0, np.roll(nx, -1), np.roll(nx, 1))
+    flip_safe = np.where(flip_nxt >= 0, flip_nxt, 0)
+    prv = np.where(flip_nxt >= 0, flip_safe ^ 1, -1)
+    prv_on = (prv >= 0) & on[np.where(prv >= 0, prv, 0)]
+    natural_head = on & ~prv_on
+
+    def jump(ptr, val, reduce):
+        for _ in range(steps):
+            val = reduce(val, val[ptr])
+            ptr = ptr[ptr]
+        return ptr, val
+
+    if with_cycles:
+        ptr = np.where(natural_head | ~on, sidx,
+                       np.where(prv_on, prv, sidx))
+        ptr, mn = jump(ptr.astype(np.int64), sidx.copy(), np.minimum)
+        reached = natural_head[ptr]
+        is_cycle = on & ~reached
+        art_head = is_cycle & (sidx == mn)
+        is_head = natural_head | art_head
+    else:
+        is_cycle = np.zeros((S,), bool)
+        is_head = natural_head
+
+    ptr = np.where(is_head | ~on, sidx, np.where(prv_on, prv, sidx))
+    rank0 = np.where(on & ~is_head, 1, 0).astype(np.int64)
+    ptr, rank = jump(ptr.astype(np.int64), rank0, np.add)
+    unreached = on & ~is_head[ptr]
+    head = np.where(on, ptr, -1)
+
+    length = np.bincount(
+        np.where(on, head, S - 1), weights=on.astype(np.float64),
+        minlength=S,
+    ).astype(np.int64)
+    length = np.where(is_head, length, 0)
+
+    is_tail = on & ~nxt_on
+    attach = np.full((S,), -1, np.int64)
+    tails = np.nonzero(is_tail)[0]
+    attach[head[tails]] = nx[tails]
+    attach = np.where(is_head, attach, -1)
+    attach = np.where(is_cycle & is_head, -1, attach)
+
+    labels = ChainLabels(
+        on_chain=on,
+        head=head.astype(np.int32),
+        rank=np.where(on, rank, 0).astype(np.int32),
+        length=length.astype(np.int32),
+        attach=attach.astype(np.int32),
+        is_cycle=is_cycle,
+        is_head=is_head,
+    )
+    return labels, bool(unreached.any())
+
+
+def label_chains_numpy(on_chain_state, nxt) -> ChainLabels:
+    import numpy as np
+
+    on = np.asarray(on_chain_state)
+    nx = np.asarray(nxt).astype(np.int64)
+    labels, has_cycles = _label_core_numpy(on, nx, with_cycles=False)
+    if has_cycles:
+        labels, _ = _label_core_numpy(on, nx, with_cycles=True)
+    return labels
+
+
 def label_chains_host(on_chain_state, nxt) -> ChainLabels:
     """label_chains with the rare cycle pass branched on the HOST (one
     scalar readback) instead of lax.cond.  Under cond both traversal
     programs inline into the caller and their buffers co-allocate —
     at 33M states that doubled compile size and peak HBM; callers not
-    under trace should prefer this."""
+    under trace should prefer this.  Past LABEL_HOST_THRESHOLD states the
+    whole pass runs in numpy (see note above)."""
+    if on_chain_state.shape[0] >= LABEL_HOST_THRESHOLD:
+        return label_chains_numpy(on_chain_state, nxt)
     labels, has_cycles = _label_core(on_chain_state, nxt, with_cycles=False)
     if bool(has_cycles):
         labels = _label_core(on_chain_state, nxt, with_cycles=True)[0]

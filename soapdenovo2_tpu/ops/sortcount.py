@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import bitonic
 from . import kmer as kops
@@ -606,6 +607,69 @@ def lookup_kmers(table_keys, queries):
         return jnp.full(queries.shape[:-1], -1, jnp.int32)
     idx = searchsorted_kmers(table_keys, queries)
     safe = jnp.minimum(idx, c - 1)
+    found = kops.lex_eq(table_keys[safe], queries)
+    return jnp.where(found, safe, -1)
+
+
+# -- prefix-directory accelerated lookup -------------------------------------
+# The streaming lookups (arc pass, map pass) issue log2(C) DEPENDENT random
+# gathers per query — ~24 HBM round-trips at 16M-row tables, the dominant
+# cost of both passes.  A host-built bucket directory over the top bits of
+# key word 0 narrows each query to its bucket in ONE gather; the remaining
+# bisection needs only ceil(log2(max_bucket)) steps (typically 6-10).
+
+
+def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20):
+    """Host-side directory build over a sorted key array.
+
+    Returns (directory (2^eff+1,) int32, steps, shift) where
+    ``directory[b]`` is the first row whose word-0 top ``eff`` significant
+    bits equal b.  Word 0 of a k-mer holds ``top_word_bits(k)``
+    significant LOW bits (ops/kmer.py layout), hence the k-dependent
+    shift; sentinel rows (all-ones word 0) clamp into the last bucket."""
+    w0_bits = kops.top_word_bits(k)
+    eff = max(1, min(bits, w0_bits))
+    shift = w0_bits - eff
+    nb = 1 << eff
+    top = np.minimum(keys[:, 0].astype(np.uint64) >> shift, nb - 1)
+    directory = np.searchsorted(
+        top, np.arange(nb + 1, dtype=np.uint64), side="left"
+    ).astype(np.int32)
+    if keys.shape[0]:
+        max_bucket = int(np.diff(directory).max())
+    else:
+        max_bucket = 1
+    steps = max(1, max_bucket.bit_length())
+    return directory, steps, shift
+
+
+def lookup_kmers_dir(table_keys, queries, directory, steps: int,
+                     shift: int):
+    """Directory-accelerated exact-match lookup (same contract as
+    lookup_kmers).  ``steps``/``shift`` are static, from
+    build_prefix_dir."""
+    c = table_keys.shape[0]
+    if c == 0:
+        return jnp.full(queries.shape[:-1], -1, jnp.int32)
+    nb = directory.shape[0] - 1
+    q0 = queries[..., 0]
+    b = jnp.minimum(
+        (q0 >> jnp.uint32(shift)).astype(jnp.int32), nb - 1
+    )
+    lo = directory[b]
+    hi = directory[b + 1]
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        mid_keys = table_keys[jnp.minimum(mid, c - 1)]
+        less = kops.lex_less(mid_keys, queries)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    safe = jnp.minimum(lo, c - 1)
     found = kops.lex_eq(table_keys[safe], queries)
     return jnp.where(found, safe, -1)
 

@@ -124,9 +124,13 @@ class ShardedArcStream:
         self._sh1 = NamedSharding(mesh, P(AXIS))
         self._rep = NamedSharding(mesh, P())
         dp = lambda x: jax.device_put(jnp.asarray(x), self._rep)
+        tdir, self._dir_steps, self._dir_shift = sc.build_prefix_dir(
+            np.asarray(table_keys), k
+        )
         self._state = (
             dp(table_keys), dp(state_edge), dp(state_rank),
             dp(patch_keys), dp(patch_edge), dp(patch_twin),
+            dp(tdir),
         )
         self._route_cache = {}
 
@@ -138,9 +142,12 @@ class ShardedArcStream:
         n_shards, k = self.n_shards, self.k
         from ..models import pregraph as pgm
 
-        def per_shard(codes, lengths, tkeys, se, sr, pk, pe, pt):
+        dsteps, dshift = self._dir_steps, self._dir_shift
+
+        def per_shard(codes, lengths, tkeys, se, sr, pk, pe, pt, tdir):
             hits = pgm.read_paths_batch(
-                codes, lengths, k, tkeys, se, sr, pk, pe, pt
+                codes, lengths, k, tkeys, se, sr, pk, pe, pt,
+                tdir, dsteps, dshift,
             )
             prev = pgm._last_seen_scan(hits)
             is_arc = (hits >= 0) & (prev >= 0) & (hits != prev)
@@ -154,7 +161,7 @@ class ShardedArcStream:
         fn = jax.jit(jax.shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(AXIS, None), P(AXIS)) + (P(),) * 6,
+            in_specs=(P(AXIS, None), P(AXIS)) + (P(),) * 7,
             out_specs=(P(AXIS, None), P(AXIS), P(AXIS, None)),
         ))
         self._route_cache[cap] = fn
@@ -372,7 +379,10 @@ class ShardedMapper:
         self._idx = (
             dp(index.keys), dp(index.cid), dp(index.pos),
             dp(index.flip.astype(np.int8)), dp(index.ctg_len),
+            dp(index.pdir),
         )
+        self._pdir_steps = index.pdir_steps
+        self._pdir_shift = index.pdir_shift
         self._fn_cache = {}
 
     def _fn(self, align_len: int, half_rule: bool):
@@ -381,17 +391,19 @@ class ShardedMapper:
             return self._fn_cache[key]
         from ..models import mapping as mp
         k = self.k
+        psteps, pshift = self._pdir_steps, self._pdir_shift
 
-        def per_shard(codes, lengths, keys, cid, pos, flip, clen):
+        def per_shard(codes, lengths, keys, cid, pos, flip, clen, pdir):
             return mp._map_batch.__wrapped__(
                 codes, lengths, k, keys, cid, pos, flip, clen,
                 align_len=align_len, half_rule=half_rule,
+                pdir=pdir, pdir_steps=psteps, pdir_shift=pshift,
             )
 
         fn = jax.jit(jax.shard_map(
             per_shard,
             mesh=self.mesh,
-            in_specs=(P(AXIS, None), P(AXIS)) + (P(),) * 5,
+            in_specs=(P(AXIS, None), P(AXIS)) + (P(),) * 6,
             out_specs=(P(AXIS),) * 4,
         ))
         self._fn_cache[key] = fn
