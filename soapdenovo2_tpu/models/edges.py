@@ -110,13 +110,30 @@ def _oriented_first_base(words, orient, k: int):
     return jnp.where(orient == 0, fb, 3 - lb).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _edges_chain_inputs(g: kg.PreGraph, k: int):
-    """Device: refresh links + successor states for chain labeling."""
-    g = kg.refresh_links(g, k)
-    nxt_full, _ = kg.linear_next_states(g, k)
+@functools.partial(jax.jit, static_argnames=("k", "psteps", "pshift"))
+def _edges_refresh(g: kg.PreGraph, k: int, pdir, psteps: int, pshift: int):
+    return kg.refresh_links(g, k, pdir, psteps, pshift)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "psteps", "pshift"))
+def _edges_successors(g: kg.PreGraph, k: int, pdir, psteps: int,
+                      pshift: int):
+    nxt_full, _ = kg.linear_next_states.__wrapped__(g, k, pdir, psteps,
+                                                    pshift)
     on_chain = jnp.repeat(g.linear & ~g.deleted, 2)
     nxt = jnp.where(on_chain, nxt_full, -1)
+    return on_chain, nxt
+
+
+def _edges_chain_inputs(g: kg.PreGraph, k: int):
+    """Refresh links + successor states for chain labeling, staged as TWO
+    device programs with a sync between (the former single fused program
+    faulted the axon TPU worker at 33M states) and a prefix directory
+    shortening every lookup's gather chain."""
+    pdir, psteps, pshift = sc.build_prefix_dir_device(g.keys, k)
+    g = _edges_refresh(g, k, pdir, psteps, pshift)
+    jax.block_until_ready(g.covs)
+    on_chain, nxt = _edges_successors(g, k, pdir, psteps, pshift)
     return g, on_chain, nxt
 
 

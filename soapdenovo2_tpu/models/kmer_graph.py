@@ -102,19 +102,25 @@ def oriented_kmer(keys, idx, orient, k: int):
     return jnp.where(orient[..., None].astype(bool), rc, words)
 
 
-def next_of(g: PreGraph, idx, orient, base, k: int):
+def next_of(g: PreGraph, idx, orient, base, k: int, pdir=None,
+            psteps: int = 0, pshift: int = 0):
     """Follow one de Bruijn step from state (idx, orient) via exit base.
 
     Returns (j, oj): target node index (-1 if absent/deleted) and its
     traversal orientation.  This is the vectorized form of the reference's
     nextKmer + reverseComplement + search_kmerset idiom (repeated all over
     cutTipPreGraph.c / node2edge.c).  ``idx=None`` = all nodes in order.
+    ``pdir``/``psteps``/``pshift`` (sortcount.build_prefix_dir_device)
+    shorten the lookup's dependent-gather chain ~3x at large tables.
     """
     cur = oriented_kmer(g.keys, idx, orient, k)
     nxt = kops.shift_left_append(cur, base, k)
     rc = kops.reverse_complement(nxt, k)
     canon, is_rc = kops.canonical(nxt, rc)
-    j = sc.lookup_kmers(g.keys, canon)
+    if pdir is not None:
+        j = sc.lookup_kmers_dir(g.keys, canon, pdir, psteps, pshift)
+    else:
+        j = sc.lookup_kmers(g.keys, canon)
     j = jnp.where((j >= 0) & ~g.deleted[jnp.maximum(j, 0)], j, -1)
     oj = is_rc.astype(jnp.int32)  # canonical != traversal kmer => flipped
     return j, oj
@@ -125,8 +131,9 @@ def _unique_base(covs4):
     return jnp.argmax(covs4, axis=-1).astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def linear_next_states(g: PreGraph, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "psteps", "pshift"))
+def linear_next_states(g: PreGraph, k: int, pdir=None, psteps: int = 0,
+                       pshift: int = 0):
     """(S,) successor state for each state of a linear node (-1 otherwise),
     plus the exit base per state.  S = 2*C."""
     c = g.keys.shape[0]
@@ -136,8 +143,10 @@ def linear_next_states(g: PreGraph, k: int):
     exit0 = right_b
     exit1 = (3 - left_b) & 3  # orientation 1 exits via comp(left base)
 
-    j0, o0 = next_of(g, None, jnp.zeros((c,), jnp.int32), exit0, k)
-    j1, o1 = next_of(g, None, jnp.ones((c,), jnp.int32), exit1, k)
+    j0, o0 = next_of(g, None, jnp.zeros((c,), jnp.int32), exit0, k,
+                     pdir, psteps, pshift)
+    j1, o1 = next_of(g, None, jnp.ones((c,), jnp.int32), exit1, k,
+                     pdir, psteps, pshift)
 
     lin = g.linear
     s0 = jnp.where(lin & (j0 >= 0), j0 * 2 + o0, -1)
@@ -332,7 +341,8 @@ def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def refresh_links(g: PreGraph, k: int) -> PreGraph:
+def refresh_links(g: PreGraph, k: int, pdir=None, psteps: int = 0,
+                  pshift: int = 0) -> PreGraph:
     """Zero directional covs whose neighbor k-mer no longer exists.
 
     Vectorized analog of the reference's dislink-on-delete bookkeeping —
@@ -342,12 +352,16 @@ def refresh_links(g: PreGraph, k: int) -> PreGraph:
     covs = g.covs.astype(jnp.int32)
     for b in range(4):
         # right link, orientation 0, exit base b
-        j, _ = next_of(g, None, jnp.zeros((c,), jnp.int32), jnp.full((c,), b, jnp.uint32), k)
+        j, _ = next_of(g, None, jnp.zeros((c,), jnp.int32),
+                       jnp.full((c,), b, jnp.uint32), k,
+                       pdir, psteps, pshift)
         covs = covs.at[:, 4 + b].set(jnp.where(j >= 0, covs[:, 4 + b], 0))
         # left link: orientation 1 exit base comp(b) reaches the left
         # neighbor of base b
         j2, _ = next_of(
-            g, None, jnp.ones((c,), jnp.int32), jnp.full((c,), (3 - b) & 3, jnp.uint32), k
+            g, None, jnp.ones((c,), jnp.int32),
+            jnp.full((c,), (3 - b) & 3, jnp.uint32), k,
+            pdir, psteps, pshift,
         )
         covs = covs.at[:, b].set(jnp.where(j2 >= 0, covs[:, b], 0))
     covs = jnp.where(g.deleted[:, None], 0, covs)

@@ -148,10 +148,18 @@ def build_links_for_grad(
 
 @dataclasses.dataclass
 class Scaffold:
-    """An ordered chain of directed contigs with gaps between them."""
+    """An ordered chain of directed contigs with gaps between them.
+
+    ``jweight``/``jsmall`` carry per-junction bind metadata (the CONNECT
+    maxGap/bySmall flags of freezing, orderContig.c:3083/8225): the PE
+    weight that created each junction and whether a short-insert
+    (<=1000) rank created it.  Optional — chains rebuilt from stage
+    files carry none."""
 
     ctgs: List[int]
     gaps: List[int]  # len == len(ctgs) - 1
+    jweight: List[int] = dataclasses.field(default_factory=list)
+    jsmall: List[bool] = dataclasses.field(default_factory=list)
 
 
 class Scaffolder:
@@ -249,12 +257,46 @@ class Scaffolder:
         self._sigs = (head, tail)
         return self._sigs
 
-    def _remember_links(self, links: LinkTable) -> None:
+    def _remember_links(self, links: LinkTable,
+                        by_small: bool = False) -> None:
         for a, b, w, g in zip(links.c1, links.c2, links.weight, links.gap):
             key = (int(a), int(b))
             old = self.ctg_links.get(key)
-            if old is None or w > old[0]:
-                self.ctg_links[key] = (int(w), int(g))
+            if old is None:
+                self.ctg_links[key] = (int(w), int(g), by_small)
+            elif w > old[0]:
+                osm = len(old) > 2 and old[2]
+                self.ctg_links[key] = (int(w), int(g), by_small or osm)
+            elif by_small and not (len(old) > 2 and old[2]):
+                self.ctg_links[key] = (old[0], old[1], True)
+
+    def _rev_small(self, y: int, x: int) -> bool:
+        """Did a SHORT-insert rank link the facing contig ends of chain
+        nodes y -> x?  The dh_cnt->bySmall/smallIns consult of the
+        :7074 arbitration — our CONNECTs don't persist across ranks, so
+        the history lives in ctg_links (contig-level, small-rank flag)."""
+        cy = self._node_tail_ctg(y)
+        cx = self._node_head_ctg(x)
+        if cy is None or cx is None:
+            return False
+        rec = self.ctg_links.get((cy, cx))
+        return bool(rec is not None and len(rec) > 2 and rec[2])
+
+    def _node_head_ctg(self, node: int) -> Optional[int]:
+        sc = self.chains[node >> 1]
+        if not sc.ctgs:
+            return None
+        if node & 1:
+            return int(twin_ctg(np.int64(sc.ctgs[-1])))
+        return int(sc.ctgs[0])
+
+    def _node_tail_ctg(self, node: int) -> Optional[int]:
+        sc = self.chains[node >> 1]
+        if not sc.ctgs:
+            return None
+        if node & 1:
+            return int(twin_ctg(np.int64(sc.ctgs[0])))
+        return int(sc.ctgs[-1])
 
     # -- chain coordinate helpers ------------------------------------------
     def _chain_maps(self):
@@ -322,8 +364,13 @@ class Scaffolder:
         """One ordering round (ordering:2351)."""
         if links.c1.size == 0:
             return
-        self._remember_links(links)
-        if self.use_native:
+        by_small_rank = insert_size <= 1000  # smallScaf/bySmall regime
+        self._remember_links(links, by_small=by_small_rank)
+        if by_small_rank:
+            self._had_small_rank = True
+        if self.use_native and not (
+            not by_small_rank and getattr(self, "_had_small_rank", False)
+        ):
             from .. import native as native_mod
 
             lib = native_mod.get_scaffolder_lib()
@@ -438,11 +485,13 @@ class Scaffolder:
         window = insert_size + 3 * ins_var
         self._general_linearization(linkset, chain_len_of, ins_var,
                                     overlap_tol=0.05, confl_tol=0.05,
-                                    snp=snp, window=window)
+                                    snp=snp, window=window,
+                                    by_small_rank=by_small_rank)
         if last_rank:
             self._general_linearization(linkset, chain_len_of, ins_var,
                                         overlap_tol=0.10, confl_tol=0.10,
-                                        snp=snp, window=window)
+                                        snp=snp, window=window,
+                                        by_small_rank=by_small_rank)
 
         log.debug("rank ins=%d: %d links after linearization", insert_size,
                   len(linkset))
@@ -469,7 +518,7 @@ class Scaffolder:
         self._mask_puzzle(linkset)
 
         # unique-successor linearization (linearC2C / freezing):
-        succ: Dict[int, Tuple[int, int]] = {}
+        succ: Dict[int, Tuple[int, int, float]] = {}
         pred_count: Dict[int, int] = {}
         outs_by_a: Dict[int, List[Tuple[int, float, int]]] = {}
         for (a, b), (ww, gg) in linkset.items():
@@ -477,13 +526,13 @@ class Scaffolder:
         for a, cand in outs_by_a.items():
             if len(cand) == 1:
                 b, ww, gg = cand[0]
-                succ[a] = (b, gg)
+                succ[a] = (b, gg, ww)
                 pred_count[b] = pred_count.get(b, 0) + 1
         # drop ambiguous predecessors
         if log.isEnabledFor(logging.DEBUG):
-            for a, (b, gg) in succ.items():
+            for a, (b, gg, _ww) in succ.items():
                 if pred_count.get(b, 0) > 1:
-                    others = [x for x, (y, _) in succ.items() if y == b]
+                    others = [x for x, (y, *_r) in succ.items() if y == b]
                     log.debug("multi-pred b=%d preds=%s lens=%s masked=%s",
                               b, others,
                               [int(self.ctg_len[self._single_ctg(x)])
@@ -493,8 +542,8 @@ class Scaffolder:
                                if self._single_ctg(x) is not None else None
                                for x in others])
         succ = {
-            a: (b, gg)
-            for a, (b, gg) in succ.items()
+            a: (b, gg, ww)
+            for a, (b, gg, ww) in succ.items()
             if pred_count.get(b, 0) == 1
         }
         # drop mutual conflicts via twin symmetry: succ on (chain,o) implies
@@ -503,7 +552,8 @@ class Scaffolder:
         used = np.zeros((len(self.chains),), bool)
         # build next-chain mapping on oriented chains
         nxt = dict(succ)
-        has_pred = {b for (b, _) in nxt.values()}
+        has_pred = {b for (b, *_r) in nxt.values()}
+
         # sorted start order: deterministic and port-stable (cycle chains,
         # which have no head, break at their smallest member)
         for start in sorted(nxt.keys()) + [
@@ -517,17 +567,19 @@ class Scaffolder:
             # walk
             path = [start]
             gaps = []
+            metas = []
             used[ch] = True
             cur = start
             while cur in nxt:
-                b, gg = nxt[cur]
+                b, gg, ww = nxt[cur]
                 if used[b >> 1]:
                     break
                 path.append(b)
                 gaps.append(int(gg))
+                metas.append((int(ww), by_small_rank))
                 used[b >> 1] = True
                 cur = b
-            merged.append(self._stitch(path, gaps))
+            merged.append(self._stitch(path, gaps, metas))
         n_multi_out = sum(1 for c in outs_by_a.values() if len(c) > 1)
         log.debug(
             "rank ins=%d: %d unique-succ merges, %d multi-out endpoints, "
@@ -614,7 +666,22 @@ class Scaffolder:
             ng = e - b - 1
             gl = [int(x) for x in out_gaps[gpos: gpos + ng]]
             gpos += ng
-            new_chains.append(Scaffold(cl, gl))
+            # junction bind metadata (freezing/smallScaf): the native ABI
+            # returns flat chains, so rebuild (weight, by_small) from the
+            # contig-level link history; junctions with no direct record
+            # default to this rank's regime
+            by_small_rank = insert_size <= 1000
+            jw: List[int] = []
+            js: List[bool] = []
+            for a_c, b_c in zip(cl, cl[1:]):
+                rec = self.ctg_links.get((a_c, b_c))
+                if rec is None:
+                    jw.append(0)
+                    js.append(by_small_rank)
+                else:
+                    jw.append(int(rec[0]))
+                    js.append(bool(rec[2]) or by_small_rank)
+            new_chains.append(Scaffold(cl, gl, jw, js))
         self.chains = new_chains
         self.mask = mask.astype(bool)
         self.bubble_flag = bub.astype(bool)
@@ -635,6 +702,7 @@ class Scaffolder:
         max_nodes: int = 32,
         snp: bool = False,
         window: int = 0,
+        by_small_rank: bool = True,
     ) -> int:
         """Order bounded link subgraphs by estimated position and replace
         their links with a consistent linear chain.
@@ -737,6 +805,38 @@ class Scaffolder:
                         confl += w
             if total <= 0 or confl > confl_tol * total:
                 continue
+            # adjacent-pair arbitration (orderContig.c:7074-7135): when the
+            # distance sort put (x, y) adjacent but only the REVERSED link
+            # y->x exists, the reference exchanges the pair if small-insert
+            # evidence backs the reversed order (bySmall global in short
+            # ranks / dh_cnt->bySmall history in long ranks) or the
+            # negative gap shows the sort flipped two near-coincident
+            # contigs (tmp_dis sanity window :7084)
+            changed = True
+            guard = 0
+            while changed and guard <= len(order):
+                changed = False
+                guard += 1
+                for i in range(len(order) - 1):
+                    (x, px), (y, py) = order[i], order[i + 1]
+                    if (x, y) in linkset:
+                        continue
+                    rev = linkset.get((y, x))
+                    if rev is None:
+                        continue
+                    rev_w, rev_g = rev
+                    gap_xy = py - (px + chain_len_of(x))
+                    tmp_dis = (chain_len_of(x) + chain_len_of(y)
+                               + gap_xy + rev_g)
+                    small_backed = by_small_rank or self._rev_small(y, x)
+                    if small_backed or (
+                        (-gap_xy > chain_len_of(x)
+                         or -gap_xy > chain_len_of(y))
+                        and 0 < tmp_dis < 500 and rev_w > 3
+                    ):
+                        order[i], order[i + 1] = (y, px), (x, py)
+                        changed = True
+                        break
             # arrangeNodes_general: replace member links with the chain.
             # The mirror subgraph (every node reverse-complemented) shares
             # one CONNECT set in the reference; rewrite it symmetrically.
@@ -924,7 +1024,23 @@ class Scaffolder:
                 if ja is None or jb is None or ja >= jb:
                     continue
                 support[ja:jb] += w
-            avg_pe = float(support.mean())
+            # junction bind metadata, when the chain carries it: the
+            # reference's weakCnt/avgPE use the junction's OWN short-PE
+            # support (bindCnt->maxGap, orderContig.c:9000-9040) and only
+            # bySmall bind chains are breakable (:8939/:8960); the
+            # long-insert spanning support then CONFIRMS the break
+            # (checkScafConsist's role)
+            have_meta = (len(sc.jweight) == m - 1
+                         and any(w_ > 0 for w_ in sc.jweight))
+            if have_meta:
+                own = np.asarray(sc.jweight, np.int64)
+                small = np.asarray(sc.jsmall, bool)
+                counted = own > 0
+                avg_pe = float(own[counted].mean()) if counted.any() else 0.0
+            else:
+                own = support
+                small = np.ones((m - 1,), bool)
+                avg_pe = float(support.mean())
             if avg_pe < 10:
                 new_chains.append(sc)
                 continue
@@ -935,18 +1051,29 @@ class Scaffolder:
                 junction = start[j] + int(self.ctg_len[sc.ctgs[j]])
                 if junction < insert_size or total - junction < insert_size:
                     continue
-                if weak_w is None or support[j] < weak_w:
-                    weak_w = int(support[j])
+                if have_meta and not small[j]:
+                    continue  # long-insert-made junctions don't break
+                if weak_w is None or own[j] < weak_w:
+                    weak_w = int(own[j])
                     weak_j = j
             if weak_j < 0 or (weak_w > 2 and weak_w > avg_pe / 5):
                 new_chains.append(sc)
                 continue
+            if have_meta and support[weak_j] >= weak_pe:
+                # long-insert pairs consistently span the weak junction:
+                # the chain is confirmed, don't break (checkScafConsist)
+                new_chains.append(sc)
+                continue
             n_broken += 1
+            jw = sc.jweight if len(sc.jweight) == m - 1 else [0] * (m - 1)
+            js = sc.jsmall if len(sc.jsmall) == m - 1 else [False] * (m - 1)
             new_chains.append(
-                Scaffold(sc.ctgs[: weak_j + 1], sc.gaps[:weak_j])
+                Scaffold(sc.ctgs[: weak_j + 1], sc.gaps[:weak_j],
+                         jw[:weak_j], js[:weak_j])
             )
             new_chains.append(
-                Scaffold(sc.ctgs[weak_j + 1 :], sc.gaps[weak_j + 1 :])
+                Scaffold(sc.ctgs[weak_j + 1 :], sc.gaps[weak_j + 1 :],
+                         jw[weak_j + 1 :], js[weak_j + 1 :])
             )
         self.chains = new_chains
         self.n_breaks += n_broken
@@ -1064,8 +1191,8 @@ class Scaffolder:
         routes start -> ... -> finish whose length matches the gap within
         1.5 * ins_var; a unique route is committed into the chain."""
         outs: Dict[int, List[Tuple[int, int, int]]] = {}
-        for (a, b), (w, g) in self.ctg_links.items():
-            outs.setdefault(a, []).append((b, w, g))
+        for (a, b), rec in self.ctg_links.items():
+            outs.setdefault(a, []).append((b, rec[0], rec[1]))
         recovered = 0
         for sc in self.chains:
             if len(sc.ctgs) < 2:
@@ -1112,9 +1239,14 @@ class Scaffolder:
         self.n_recovered += recovered
         return recovered
 
-    def _stitch(self, oriented_chains: List[int], gaps: List[int]) -> Scaffold:
+    def _stitch(self, oriented_chains: List[int], gaps: List[int],
+                metas: Optional[List[Tuple[int, bool]]] = None) -> Scaffold:
+        """Concatenate oriented chains; ``metas`` carries (weight,
+        by_small) for each NEW junction (freezing's bind metadata)."""
         ctgs: List[int] = []
         out_gaps: List[int] = []
+        out_jw: List[int] = []
+        out_js: List[bool] = []
         for idx, oc in enumerate(oriented_chains):
             ch, o = oc >> 1, oc & 1
             sc = self.chains[ch]
@@ -1122,11 +1254,23 @@ class Scaffolder:
                 int(twin_ctg(np.int64(c))) for c in reversed(sc.ctgs)
             ]
             gl = sc.gaps if not o else list(reversed(sc.gaps))
+            m = len(sc.ctgs) - 1
+            jw = sc.jweight if len(sc.jweight) == m else [0] * m
+            js = sc.jsmall if len(sc.jsmall) == m else [False] * m
+            if o:
+                jw, js = list(reversed(jw)), list(reversed(js))
             if idx > 0:
                 out_gaps.append(gaps[idx - 1])
+                w_, s_ = (metas[idx - 1] if metas is not None
+                          else (0, False))
+                out_jw.append(int(w_))
+                out_js.append(bool(s_))
             ctgs.extend(cl)
             out_gaps.extend(gl)
-        return Scaffold(ctgs=ctgs, gaps=out_gaps)
+            out_jw.extend(jw)
+            out_js.extend(js)
+        return Scaffold(ctgs=ctgs, gaps=out_gaps, jweight=out_jw,
+                        jsmall=out_js)
 
     def result(self) -> List[Scaffold]:
         return [c for c in self.chains if c.ctgs]

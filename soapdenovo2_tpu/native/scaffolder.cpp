@@ -178,7 +178,7 @@ std::vector<std::pair<int64_t, int64_t>> remove_bubble_ctg(
 // --- general_linearization (scaffold.py _general_linearization) -----------
 void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
                            double overlap_tol, double confl_tol, bool snp,
-                           int64_t max_nodes = 32) {
+                           bool by_small, int64_t max_nodes = 32) {
   struct Edge {
     int64_t other;
     double w;
@@ -312,6 +312,45 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
       }
     }
     if (total <= 0 || confl > confl_tol * total) continue;
+    // adjacent-pair arbitration (orderContig.c:7074-7135): only the
+    // REVERSED link exists between sort-adjacent (x, y) -> exchange when
+    // small-insert evidence backs it (bySmall) or the negative gap shows
+    // two near-coincident contigs got flipped (python _general_
+    // linearization mirrors this; the small-HISTORY consult only matters
+    // on long ranks after a small rank, where the python path runs)
+    {
+      bool changed = true;
+      size_t guard = 0;
+      while (changed && guard <= order.size()) {
+        changed = false;
+        ++guard;
+        for (size_t i = 0; i + 1 < order.size(); ++i) {
+          int64_t x = order[i].first, px = order[i].second;
+          int64_t y = order[i + 1].first, py = order[i + 1].second;
+          uint64_t kxy = (static_cast<uint64_t>(x) << 32) |
+                         static_cast<uint32_t>(y);
+          if (ls.count(kxy)) continue;
+          uint64_t kyx = (static_cast<uint64_t>(y) << 32) |
+                         static_cast<uint32_t>(x);
+          auto rit = ls.find(kyx);
+          if (rit == ls.end()) continue;
+          double rev_w = rit->second.w;
+          int64_t rev_g = rit->second.g;
+          int64_t gap_xy = py - (px + ctx.chain_len_of(x));
+          int64_t tmp_dis =
+              ctx.chain_len_of(x) + ctx.chain_len_of(y) + gap_xy + rev_g;
+          bool neg = ((-gap_xy > ctx.chain_len_of(x) ||
+                       -gap_xy > ctx.chain_len_of(y)) &&
+                      tmp_dis > 0 && tmp_dis < 500 && rev_w > 3);
+          if (by_small || neg) {
+            order[i] = {y, px};
+            order[i + 1] = {x, py};
+            changed = true;
+            break;
+          }
+        }
+      }
+    }
     // arrangeNodes_general: rewrite member links as the committed chain
     std::unordered_set<int64_t> members, members_m;
     for (auto& kv : pos) {
@@ -524,8 +563,10 @@ int64_t scaff_ordering_rank(
       insert_size >= 1000 ? 50 : (insert_size >= 300 ? 30 : 20);
   bool snp = snp_enabled && insert_size < 1000 && cvg4snp > 1e-3 &&
              cvg != nullptr && head_sig != nullptr;
-  general_linearization(ctx, ls, ins_var, 0.05, 0.05, snp);
-  if (last_rank) general_linearization(ctx, ls, ins_var, 0.10, 0.10, snp);
+  const bool by_small = ctx.insert_size <= 1000;
+  general_linearization(ctx, ls, ins_var, 0.05, 0.05, snp, by_small);
+  if (last_rank)
+    general_linearization(ctx, ls, ins_var, 0.10, 0.10, snp, by_small);
 
   mask_puzzle(ctx, ls);
 

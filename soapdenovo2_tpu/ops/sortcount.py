@@ -643,6 +643,31 @@ def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20):
     return directory, steps, shift
 
 
+@functools.partial(jax.jit, static_argnames=("shift", "nb"))
+def _prefix_dir_device(keys, shift: int, nb: int):
+    top = jnp.minimum(keys[:, 0] >> jnp.uint32(shift), jnp.uint32(nb - 1))
+    return jnp.searchsorted(
+        top, jnp.arange(nb + 1, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)
+
+
+def build_prefix_dir_device(keys, k: int, bits: int = 20):
+    """Directory build from DEVICE-resident sorted keys: one small jitted
+    searchsorted (the top bits of sorted keys are themselves sorted) and a
+    4 MB readback to derive the static bisection step count — avoids
+    downloading the multi-hundred-MB key table.  Returns
+    (directory device array, steps, shift)."""
+    w0_bits = kops.top_word_bits(k)
+    eff = max(1, min(bits, w0_bits))
+    shift = w0_bits - eff
+    nb = 1 << eff
+    directory = _prefix_dir_device(keys, shift, nb)
+    d_np = np.asarray(directory)
+    max_bucket = int(np.diff(d_np).max()) if keys.shape[0] else 1
+    steps = max(1, max_bucket.bit_length())
+    return directory, steps, shift
+
+
 def lookup_kmers_dir(table_keys, queries, directory, steps: int,
                      shift: int):
     """Directory-accelerated exact-match lookup (same contract as

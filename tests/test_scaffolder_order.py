@@ -178,3 +178,40 @@ def test_remove_bubble_ctg_respects_direct_link_and_cvg():
     sc.add_rank(links, 3, 300)
     assert sc.snp_pairs == []
     assert not sc.mask[2] and not sc.mask[4]
+
+
+def test_exchange_rule_small_vs_long_rank():
+    """The :7074 adjacent-pair arbitration changes the committed order:
+    with small-insert backing (bySmall) the reversed-only adjacency is
+    exchanged; a long-insert rank with no small history keeps the
+    distance-sorted order (orderContig.c:7074-7135)."""
+    import numpy as np
+    from soapdenovo2_tpu.models import scaffold as sf
+
+    ctg_len = np.array([1000, 1000, 200, 200, 100, 100], np.int64)
+
+    def run(by_small):
+        s = sf.Scaffolder(ctg_len.copy(), use_native=False)
+        s.chains = [sf.Scaffold([0], []), sf.Scaffold([2], []),
+                    sf.Scaffold([4], [])]
+        # chain-node ids == 2*chain index; a=0 (len 1000), b=2 (len 200),
+        # c=4 (len 100).  Distance sort puts c (pos 1090) before
+        # b (pos 1100), but the only link between them is b->c.
+        linkset = {
+            (0, 2): (20.0, 100),   # a->b
+            (0, 4): (20.0, 90),    # a->c
+            (2, 4): (2.0, -210),   # b->c (the reversed-only adjacency)
+        }
+        chain_len = [1000, 200, 100]
+        s._general_linearization(
+            linkset, lambda x: chain_len[x >> 1], ins_var=100,
+            overlap_tol=0.05, confl_tol=0.2, by_small_rank=by_small,
+        )
+        return linkset
+
+    small = run(True)
+    assert (2, 4) in small and (0, 2) in small, small
+    assert (4, 2) not in small
+    long_rank = run(False)
+    # without small backing the sorted order c-before-b is committed
+    assert (4, 2) in long_rank, long_rank
