@@ -190,28 +190,35 @@ def _dead_end_starts(g: PreGraph):
     return is_start, orient, base.astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "thin"))
-def _tip_chain_inputs(g: PreGraph, k: int, thin: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "thin", "psteps", "pshift"))
+def _tip_chain_inputs(g: PreGraph, k: int, thin: bool, pdir=None,
+                      psteps: int = 0, pshift: int = 0):
     """Device stage 1 of a clip sweep: successor states + chain mask."""
     single = g.covs[:, 8] == 1
     chain_mask = (g.linear & single) if thin else g.linear
-    nxt, _ = linear_next_states(g, k)
+    nxt, _ = linear_next_states.__wrapped__(g, k, pdir, psteps, pshift)
     on_chain = jnp.repeat(chain_mask & ~g.deleted, 2)
     return on_chain, jnp.where(on_chain, nxt, -1)
 
 
-def _clip_tips_once(g: PreGraph, k: int, thin: bool):
+def _clip_tips_once(g: PreGraph, k: int, thin: bool, pdir_info=None):
     """One simultaneous tip-clipping sweep, staged on the host: chain
     inputs -> label pass (host-branched cycle handling) -> decisions.
     One fused jit inlined the label core twice via lax.cond — compile
     blowup and a worker-killing HBM peak at 33M states."""
-    on_chain, nxt = _tip_chain_inputs(g, k, thin)
+    if pdir_info is None:
+        pdir_info = sc.build_prefix_dir_device(g.keys, k)
+    pdir, psteps, pshift = pdir_info
+    on_chain, nxt = _tip_chain_inputs(g, k, thin, pdir, psteps, pshift)
     labels = chain_ops.label_chains_host(on_chain, nxt)
-    return _clip_apply(g, labels, k, thin)
+    return _clip_apply(g, labels, k, thin, pdir, psteps, pshift)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "thin"))
-def _clip_apply(g: PreGraph, labels, k: int, thin: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "thin", "psteps", "pshift"))
+def _clip_apply(g: PreGraph, labels, k: int, thin: bool, pdir=None,
+                psteps: int = 0, pshift: int = 0):
     """Device stage 2: clip decisions + application, given chain labels."""
     c = g.keys.shape[0]
     cut_len = 2 * k
@@ -222,7 +229,7 @@ def _clip_apply(g: PreGraph, labels, k: int, thin: bool):
     if thin:
         is_start = is_start & single
     idx = jnp.arange(c, dtype=jnp.int32)
-    j, oj = next_of(g, None, orient, base, k)
+    j, oj = next_of(g, None, orient, base, k, pdir, psteps, pshift)
     j_safe = jnp.maximum(j, 0)
     first_state = j * 2 + oj
 
@@ -311,18 +318,19 @@ def _clip_apply(g: PreGraph, labels, k: int, thin: bool):
     return g2, n_clipped
 
 
-def remove_single_tips(g: PreGraph, k: int) -> Tuple[PreGraph, jax.Array]:
+def remove_single_tips(g: PreGraph, k: int, pdir_info=None
+                       ) -> Tuple[PreGraph, jax.Array]:
     """Frequency-one tip removal (removeSingleTips, cutTipPreGraph.c:363).
 
     Returns (g, n_clipped) with n_clipped a DEVICE scalar — a readback
     over the tunnel costs seconds, so callers fetch counts lazily."""
     g = mark_linear(g)
-    g, n = _clip_tips_once(g, k, thin=True)
+    g, n = _clip_tips_once(g, k, thin=True, pdir_info=pdir_info)
     return g, n
 
 
-def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100
-                      ) -> Tuple[PreGraph, jax.Array]:
+def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100,
+                      pdir_info=None) -> Tuple[PreGraph, jax.Array]:
     """Minority-link tip removal to fixpoint (removeMinorTips:414).
 
     The fixpoint loop runs on the HOST (one scalar readback per round;
@@ -330,9 +338,11 @@ def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100
     a device while_loop inlined the label core into one giant program
     whose compile time and HBM peak killed the worker at 33M states."""
     g = mark_linear(g)
+    if pdir_info is None:
+        pdir_info = sc.build_prefix_dir_device(g.keys, k)
     total = 0
     for _ in range(max_rounds):
-        g, n = _clip_tips_once(g, k, thin=False)
+        g, n = _clip_tips_once(g, k, thin=False, pdir_info=pdir_info)
         n = int(n)
         total += n
         if n == 0:

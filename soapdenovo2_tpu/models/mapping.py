@@ -69,17 +69,30 @@ def build_contig_index(contig_seqs: List[str], k: int,
     all_cid = []
     all_pos = []
     all_flip = []
-    # process contigs in padded batches of equal-ish length
+    # process contigs in padded batches of equal-ish length, bounded by a
+    # POSITION budget — a fixed row count let one long contig pad the
+    # whole batch to its length (46M-position arrays and a 25 s download
+    # over the tunnel at 5 Mb scale)
+    for t in range(n):
+        ctg_len[2 * t] = ctg_len[2 * t + 1] = len(contig_seqs[t])
     order = sorted(range(n), key=lambda t: len(contig_seqs[t]))
-    for i0 in range(0, n, batch_rows):
-        rows = order[i0 : i0 + batch_rows]
-        maxlen = max(len(contig_seqs[t]) for t in rows)
-        maxlen = max(maxlen, k)
+    POS_BUDGET = 1 << 22
+    i0 = 0
+    while i0 < n:
+        maxlen = k
+        rows = []
+        while i0 < n and len(rows) < batch_rows:
+            ln = max(len(contig_seqs[order[i0]]), k)
+            new_max = max(maxlen, ln)
+            if rows and new_max * (len(rows) + 1) > POS_BUDGET:
+                break
+            maxlen = new_max
+            rows.append(order[i0])
+            i0 += 1
         codes = np.full((len(rows), maxlen), kops.BASE_N, np.uint8)
         lengths = np.zeros((len(rows),), np.int32)
         for r, t in enumerate(rows):
             s = contig_seqs[t]
-            ctg_len[2 * t] = ctg_len[2 * t + 1] = len(s)
             if len(s) < k + 2:  # prlContig2nodes skips short contigs
                 continue
             lengths[r] = rio.encode_read(s.encode(), codes[r])
@@ -87,16 +100,14 @@ def build_contig_index(contig_seqs: List[str], k: int,
         words = np.asarray(out["words"])
         valid = np.asarray(out["valid"])
         flip = np.asarray(out["is_rc"])
-        P = words.shape[1]
-        for r, t in enumerate(rows):
-            v = valid[r]
-            if not v.any():
-                continue
-            idx = np.nonzero(v)[0]
-            all_keys.append(words[r, idx])
-            all_cid.append(np.full((idx.size,), 2 * t, np.int32))
-            all_pos.append(idx.astype(np.int32))
-            all_flip.append(flip[r, idx])
+        rr, pp = np.nonzero(valid)  # one vectorized pass, no per-row loop
+        if rr.size:
+            all_keys.append(words[rr, pp])
+            all_cid.append(
+                (2 * np.asarray(rows, np.int64)[rr]).astype(np.int32)
+            )
+            all_pos.append(pp.astype(np.int32))
+            all_flip.append(flip[rr, pp])
     if not all_keys:
         w = kops.num_words(k)
         return ContigIndex(k, np.zeros((0, w), np.uint32),

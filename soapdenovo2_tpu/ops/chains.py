@@ -57,13 +57,29 @@ def _jump(ptr, val, steps: int, reduce):
     step.  A packed (S, 2) row gather halves the random accesses but
     forces an (8, 128)-tiled layout whose minor-dim padding is 64x —
     at 33M states XLA materialized a 16 GB padded iota copy and ran out
-    of HBM; flat s32 vectors stay in (1024,)-tiled layout."""
+    of HBM; flat s32 vectors stay in (1024,)-tiled layout.
 
-    def body(_, pv):
-        p, v = pv
-        return p[p], reduce(v, v[p])
+    Early termination (while_loop): TPU random gathers run at ~50M
+    elem/s, so each 33M-state step costs ~1s — but the doubling
+    converges in log2(max_chain) rounds, and tip chains are <= 2k
+    states: ~7 rounds instead of 26.  The all-equal check per round is
+    one cheap linear reduce."""
 
-    return jax.lax.fori_loop(0, steps, body, (ptr, val))
+    def cond(st):
+        i, p, v, done = st
+        return (~done) & (i < steps)
+
+    def body(st):
+        i, p, v, done = st
+        v2 = reduce(v, v[p])
+        p2 = p[p]
+        return i + 1, p2, v2, jnp.all(p2 == p)
+
+    _, p, v, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), ptr, val, jnp.array(False)),
+    )
+    return p, v
 
 
 @functools.partial(jax.jit, static_argnames=("with_cycles",))
@@ -166,11 +182,15 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
     )
 
 
-# above this state count the label pass runs on the host CPU: the axon
-# TPU worker crashes ("kernel fault") inside the 33M-state doubling
-# gathers — observed twice at 5 Mb scale (r3) — and a worker crash costs
-# 15-30 min of tunnel recovery, far more than the ~10 s numpy pass
-LABEL_HOST_THRESHOLD = 1 << 23
+# optional host-CPU escape hatch for the label pass (numpy mirror below).
+# Disabled by default: the r3 "kernel fault" suspected here turned out to
+# live in the (then-fused) edges program — the device label core runs
+# clean at 33M states — and routing labels through the host costs a
+# 132 MB download plus ~630 MB of re-uploads into the apply step per
+# sweep over the ~20 MB/s tunnel.
+LABEL_HOST_THRESHOLD = int(
+    __import__("os").environ.get("SOAP_TPU_LABEL_HOST_THRESHOLD", 1 << 62)
+)
 
 
 def _label_core_numpy(on, nx, with_cycles: bool):
@@ -180,7 +200,7 @@ def _label_core_numpy(on, nx, with_cycles: bool):
 
     S = nx.shape[0]
     steps = _doubling_steps(S)
-    sidx = np.arange(S, dtype=np.int64)
+    sidx = np.arange(S, dtype=np.int32)
     nxt_safe = np.where(nx >= 0, nx, 0)
     nxt_on = (nx >= 0) & on[nxt_safe]
     flip_nxt = np.where((sidx & 1) == 0, np.roll(nx, -1), np.roll(nx, 1))
@@ -190,15 +210,22 @@ def _label_core_numpy(on, nx, with_cycles: bool):
     natural_head = on & ~prv_on
 
     def jump(ptr, val, reduce):
+        # early termination: chains are usually far shorter than S (tip
+        # chains are <= 2k states), so the doubling converges in
+        # log2(max_chain) rounds, not log2(S); the extra fixpoint compare
+        # per round is one linear pass vs ~20 saved gather rounds
         for _ in range(steps):
             val = reduce(val, val[ptr])
-            ptr = ptr[ptr]
+            ptr2 = ptr[ptr]
+            if np.array_equal(ptr2, ptr):
+                break
+            ptr = ptr2
         return ptr, val
 
     if with_cycles:
         ptr = np.where(natural_head | ~on, sidx,
                        np.where(prv_on, prv, sidx))
-        ptr, mn = jump(ptr.astype(np.int64), sidx.copy(), np.minimum)
+        ptr, mn = jump(ptr.astype(np.int32), sidx.copy(), np.minimum)
         reached = natural_head[ptr]
         is_cycle = on & ~reached
         art_head = is_cycle & (sidx == mn)
@@ -208,8 +235,8 @@ def _label_core_numpy(on, nx, with_cycles: bool):
         is_head = natural_head
 
     ptr = np.where(is_head | ~on, sidx, np.where(prv_on, prv, sidx))
-    rank0 = np.where(on & ~is_head, 1, 0).astype(np.int64)
-    ptr, rank = jump(ptr.astype(np.int64), rank0, np.add)
+    rank0 = np.where(on & ~is_head, 1, 0).astype(np.int32)
+    ptr, rank = jump(ptr.astype(np.int32), rank0, np.add)
     unreached = on & ~is_head[ptr]
     head = np.where(on, ptr, -1)
 
@@ -220,7 +247,7 @@ def _label_core_numpy(on, nx, with_cycles: bool):
     length = np.where(is_head, length, 0)
 
     is_tail = on & ~nxt_on
-    attach = np.full((S,), -1, np.int64)
+    attach = np.full((S,), -1, np.int32)
     tails = np.nonzero(is_tail)[0]
     attach[head[tails]] = nx[tails]
     attach = np.where(is_head, attach, -1)
@@ -242,7 +269,7 @@ def label_chains_numpy(on_chain_state, nxt) -> ChainLabels:
     import numpy as np
 
     on = np.asarray(on_chain_state)
-    nx = np.asarray(nxt).astype(np.int64)
+    nx = np.asarray(nxt).astype(np.int32)
     labels, has_cycles = _label_core_numpy(on, nx, with_cycles=False)
     if has_cycles:
         labels, _ = _label_core_numpy(on, nx, with_cycles=True)
