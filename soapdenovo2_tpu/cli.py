@@ -69,7 +69,7 @@ def _map_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-k", dest="map_kmer", type=int, default=0,
                    help="smaller k for mapping (default: assembly K)")
     p.add_argument("-p", dest="ncpu", type=int, default=8)
-    p.add_argument("--batch", dest="batch_size", type=int, default=8192)
+    p.add_argument("--batch", dest="batch_size", type=int, default=16384)
 
 
 def _scaff_args(p: argparse.ArgumentParser) -> None:

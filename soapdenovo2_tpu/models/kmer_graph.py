@@ -318,6 +318,137 @@ def _clip_apply(g: PreGraph, labels, k: int, thin: bool, pdir=None,
     return g2, n_clipped
 
 
+# --- walk-based clip sweep -------------------------------------------------
+# The label-based sweep above labels EVERY linear chain of the graph per
+# round — O(S log S) random gathers over 33M states, ~18 s/round on a
+# v5e whose random gathers run ~50M elem/s.  But a round only touches
+# the few thousand dead-end walks, each bounded by cut_len = 2k states:
+# this kernel compacts the dead-end starts into (cap,) lanes and runs
+# the reference's clipTipFromNode walk itself (cutTipPreGraph.c:42),
+# one lockstep step per scan iteration — O(D * 2k) work instead.
+# Decision semantics are identical to _clip_apply (parity-tested).
+
+
+@functools.partial(jax.jit, static_argnames=("thin",))
+def _count_starts(g: PreGraph, thin: bool):
+    is_start, _, _ = _dead_end_starts(g)
+    if thin:
+        is_start = is_start & (g.covs[:, 8] == 1)
+    return jnp.sum(is_start.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "thin", "psteps", "pshift", "cap")
+)
+def _clip_tips_walk(g: PreGraph, k: int, thin: bool, pdir, psteps: int,
+                    pshift: int, cap: int):
+    C = g.keys.shape[0]
+    cut_len = 2 * k
+    covs = g.covs
+    single = covs[:, 8] == 1
+
+    is_start, orient_all, base_all = _dead_end_starts(g)
+    if thin:
+        is_start = is_start & single
+    # compact start nodes into cap lanes (sort, no scatter)
+    skey = jnp.where(is_start, 0, 1).astype(jnp.int32)
+    iota = jnp.arange(C, dtype=jnp.int32)
+    _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+    lane = perm[:cap]
+    valid = is_start[lane]
+    l_orient = orient_all[lane]
+    l_base = base_all[lane]
+
+    j0, oj0 = next_of(g, lane, l_orient, l_base, k, pdir, psteps, pshift)
+
+    def step(carry, _):
+        j, oj, pn, po, alive, chain_len = carry
+        j_s = jnp.maximum(j, 0)
+        cont = alive & (j >= 0) & g.linear[j_s] & ~g.deleted[j_s]
+        if thin:
+            cont = cont & single[j_s]
+        visited = jnp.where(cont, j_s, C)
+        rb = _unique_base(covs[j_s, 4:8])
+        lb = _unique_base(covs[j_s, 0:4])
+        base = jnp.where(oj == 0, rb, (3 - lb) & 3).astype(jnp.uint32)
+        jn, ojn = next_of(g, j_s, oj, base, k, pdir, psteps, pshift)
+        pn2 = jnp.where(cont, j_s, pn)
+        po2 = jnp.where(cont, oj, po)
+        j2 = jnp.where(cont, jn, j)
+        oj2 = jnp.where(cont, ojn, oj)
+        return (j2, oj2, pn2, po2, cont,
+                chain_len + cont.astype(jnp.int32)), visited
+
+    init = (j0, oj0, lane, l_orient, valid & (j0 >= 0),
+            jnp.zeros((cap,), jnp.int32))
+    (j, oj, pn, po, alive, chain_len), visited = jax.lax.scan(
+        step, init, None, length=cut_len
+    )
+
+    attach = jnp.where(j >= 0, j * 2 + oj, -1)
+    count = 1 + chain_len
+    clippable = valid & (j0 >= 0) & (count <= cut_len) & (attach >= 0) \
+        & ~alive
+    out_node = jnp.maximum(attach, 0) >> 1
+    out_orient = jnp.maximum(attach, 0) & 1
+
+    prev_kmer = oriented_kmer(g.keys, pn, po, k)
+    ch = kops.first_base(prev_kmer, k).astype(jnp.int32)
+    side_col = jnp.where(out_orient == 0, ch, 4 + (3 - ch))
+    link_cov = covs[out_node, side_col]
+    side_cols = jnp.where(out_orient[:, None] == 0, 0, 4) \
+        + jnp.arange(4)[None, :]
+    side_max = jnp.max(
+        jnp.take_along_axis(covs[out_node], side_cols, axis=1), axis=1
+    )
+    ind_o, outd_o = degrees(covs)
+    whole = (ind_o[out_node] + outd_o[out_node]) == 1
+
+    if thin:
+        ok = clippable
+    else:
+        ok = clippable & (whole | (link_cov < side_max))
+
+    del_node = jnp.zeros((C,), bool)
+    del_node = del_node.at[jnp.where(ok, lane, C)].set(True, mode="drop")
+    vis = jnp.where(ok[None, :], visited, C).reshape(-1)
+    del_node = del_node.at[vis].set(True, mode="drop")
+    del_node = del_node.at[
+        jnp.where(ok & whole, out_node, C)
+    ].set(True, mode="drop")
+
+    covs_u = covs.at[
+        jnp.where(ok & ~whole, out_node, C),
+        jnp.where(ok & ~whole, side_col, 0),
+    ].set(0, mode="drop")
+
+    deleted = g.deleted | del_node
+    covs_u = jnp.where(deleted[:, None], jnp.uint16(0), covs_u)
+    g2 = g._replace(covs=covs_u, deleted=deleted)
+    g2 = mark_linear(g2)
+    return g2, jnp.sum(ok.astype(jnp.int32))
+
+
+def _next_pow2_cap(d: int, lo: int = 1024) -> int:
+    return max(lo, 1 << (max(d, 1) - 1).bit_length())
+
+
+def _clip_tips_sweep(g: PreGraph, k: int, thin: bool, pdir_info):
+    """One clip sweep via the walk kernel; lane capacity sized from a
+    one-scalar start-count readback (pow2 buckets keep compile shapes
+    few)."""
+    pdir, psteps, pshift = pdir_info
+    d = int(_count_starts(g, thin))
+    if d == 0:
+        return g, jnp.int32(0)
+    cap = _next_pow2_cap(d)
+    if cap >= g.keys.shape[0]:
+        # tiny graphs: the label sweep costs nothing and avoids a
+        # same-size compaction
+        return _clip_tips_once(g, k, thin, pdir_info)
+    return _clip_tips_walk(g, k, thin, pdir, psteps, pshift, cap)
+
+
 def remove_single_tips(g: PreGraph, k: int, pdir_info=None
                        ) -> Tuple[PreGraph, jax.Array]:
     """Frequency-one tip removal (removeSingleTips, cutTipPreGraph.c:363).
@@ -325,7 +456,9 @@ def remove_single_tips(g: PreGraph, k: int, pdir_info=None
     Returns (g, n_clipped) with n_clipped a DEVICE scalar — a readback
     over the tunnel costs seconds, so callers fetch counts lazily."""
     g = mark_linear(g)
-    g, n = _clip_tips_once(g, k, thin=True, pdir_info=pdir_info)
+    if pdir_info is None:
+        pdir_info = sc.build_prefix_dir_device(g.keys, k)
+    g, n = _clip_tips_sweep(g, k, thin=True, pdir_info=pdir_info)
     return g, n
 
 
@@ -342,7 +475,7 @@ def remove_minor_tips(g: PreGraph, k: int, max_rounds: int = 100,
         pdir_info = sc.build_prefix_dir_device(g.keys, k)
     total = 0
     for _ in range(max_rounds):
-        g, n = _clip_tips_once(g, k, thin=False, pdir_info=pdir_info)
+        g, n = _clip_tips_sweep(g, k, thin=False, pdir_info=pdir_info)
         n = int(n)
         total += n
         if n == 0:
