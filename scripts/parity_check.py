@@ -142,6 +142,58 @@ def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
     return out
 
 
+def run_parity_multirank(workdir: str, genome_len: int = 1_000_000,
+                         k: int = 31, coverage: float = 25.0,
+                         long_coverage: float = 8.0,
+                         error_rate: float = 0.005, seed: int = 5,
+                         repeat_frac: float = 0.02,
+                         timeout_s: int = 1800) -> dict:
+    """Mixed-rank golden (VERDICT item 4): a repeat-bearing genome with a
+    350 bp rank-1 library + a 3 kb rank-2 scaffolding-only library, both
+    sides end to end — exercises the rank loop / freezing / bySmall /
+    detectBreakScaff machinery (orderContig.c:5766,3083,8225,9141)."""
+    from soapdenovo2_tpu import cli
+    from soapdenovo2_tpu.io import files as fio
+    from soapdenovo2_tpu.utils import simulate as sim
+    from soapdenovo2_tpu.utils.simulate import assembly_stats
+
+    os.makedirs(workdir, exist_ok=True)
+    cfgp, genome = sim.make_multirank_config(
+        workdir, genome_len=genome_len, coverage=coverage,
+        long_coverage=long_coverage, error_rate=error_rate,
+        repeat_frac=repeat_frac, seed=seed,
+    )
+    gstr = genome.decode()
+    binary = build_reference(63)
+    ref_prefix = os.path.join(workdir, "ref_asm")
+    tpu_prefix = os.path.join(workdir, "tpu_asm")
+    subprocess.run(
+        [binary, "all", "-s", cfgp, "-K", str(k), "-o", ref_prefix,
+         "-p", "4", "-F"],
+        check=True, capture_output=True, timeout=timeout_s, cwd=workdir,
+    )
+    cli.main(["all", "-s", cfgp, "-K", str(k), "-o", tpu_prefix, "-F"])
+
+    comp = str.maketrans("ACGTN", "TGCAN")
+
+    def stats_for(prefix):
+        scaf = [s for _, s in fio.read_fasta(prefix + ".scafSeq")
+                if len(s) >= 100]
+        good = bad = 0
+        for c in scaf:
+            for s in re.split("N+", c):
+                if len(s) < 50:
+                    continue
+                if s in gstr or s.translate(comp)[::-1] in gstr:
+                    good += len(s)
+                else:
+                    bad += len(s)
+        return {"scaffold": assembly_stats(scaf), "matched": good,
+                "mismatched": bad}
+
+    return {"ref": stats_for(ref_prefix), "tpu": stats_for(tpu_prefix)}
+
+
 def run_interop(workdir: str, genome_len: int = 20_000, k: int = 23,
                 coverage: float = 35.0, error_rate: float = 0.005,
                 seed: int = 123, read_len: int = 100) -> dict:

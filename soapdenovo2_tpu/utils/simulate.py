@@ -126,6 +126,51 @@ def make_test_config(
     return cfg, genome
 
 
+def make_multirank_config(
+    dirpath: str,
+    genome_len: int = 5_000_000,
+    read_len: int = 100,
+    coverage: float = 25.0,
+    long_coverage: float = 8.0,
+    long_insert: int = 3000,
+    short_insert: int = 350,
+    error_rate: float = 0.005,
+    repeat_frac: float = 0.02,
+    seed: int = 0,
+) -> Tuple[str, bytes]:
+    """Two-rank library mix over a repeat-bearing genome: rank 1 short
+    inserts (asm_flags=3) + rank 2 long inserts (asm_flags=2, scaffolding
+    only) — the input shape that exercises detectBreakScaff / freezing /
+    bySmall rank transitions (orderContig.c:5766 rank loop)."""
+    genome = random_genome(genome_len, seed=seed, repeat_frac=repeat_frac)
+    os.makedirs(dirpath, exist_ok=True)
+    s1, s2 = simulate_pe_reads(
+        genome, read_len, short_insert, coverage, error_rate, seed=seed + 1
+    )
+    l1, l2 = simulate_pe_reads(
+        genome, read_len, long_insert, long_coverage, error_rate,
+        seed=seed + 2
+    )
+    paths = {}
+    for name, reads in (("s_1", s1), ("s_2", s2), ("l_1", l1),
+                        ("l_2", l2)):
+        p = os.path.join(dirpath, f"lib{name}.fastq")
+        write_fastq(p, reads)
+        paths[name] = p
+    cfg = os.path.join(dirpath, "multirank.config")
+    with open(cfg, "w") as fh:
+        fh.write(
+            f"max_rd_len={read_len}\n"
+            f"[LIB]\navg_ins={short_insert}\nreverse_seq=0\nasm_flags=3\n"
+            f"rank=1\npair_num_cutoff=3\n"
+            f"q1={paths['s_1']}\nq2={paths['s_2']}\n"
+            f"[LIB]\navg_ins={long_insert}\nreverse_seq=0\nasm_flags=2\n"
+            f"rank=2\npair_num_cutoff=5\n"
+            f"q1={paths['l_1']}\nq2={paths['l_2']}\n"
+        )
+    return cfg, genome
+
+
 def assembly_stats(contigs: List[str]) -> dict:
     """N50/N90-style stats (the reference logs these in iterate.c:2296 and
     ScafStat, orderContig.c:3429)."""

@@ -122,3 +122,20 @@ def test_golden_sparse(tmp_path):
     assert tpu["scaffold"]["N50"] >= 0.3 * ref["scaffold"]["N50"]
     assert tpu["matched"] >= 0.9 * ref["matched"]
     assert tpu["mismatched"] <= max(ref["mismatched"], 200)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_multirank_1mb(tmp_path):
+    """Mixed-rank golden at 1 Mb with an interior repeat: 350 bp rank-1 +
+    3 kb rank-2 libraries both sides (VERDICT item 4 at reduced scale —
+    the CPU backend carries the test suite; the 5 Mb TPU run lives in
+    scripts/e2e_bench.py).  Exercises the rank loop / freezing / bySmall
+    / detectBreakScaff transitions (orderContig.c:5766)."""
+    from parity_check import run_parity_multirank
+
+    res = run_parity_multirank(str(tmp_path), genome_len=1_000_000)
+    ref, tpu = res["ref"], res["tpu"]
+    assert tpu["scaffold"]["N50"] >= 0.95 * ref["scaffold"]["N50"]
+    assert tpu["matched"] >= 0.98 * ref["matched"]
+    assert tpu["mismatched"] <= max(ref["mismatched"], 500)
