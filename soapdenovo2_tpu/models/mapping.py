@@ -133,6 +133,20 @@ def build_contig_index(contig_seqs: List[str], k: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "k", "align_len", "half_rule", "pdir_steps", "pdir_shift", "L"))
+def _map_batch_packed(packed, lengths, n_rows, n_cols, L, k,
+                      keys, cid, pos, flip, ctg_len,
+                      align_len: int = ALIGN_LEN, half_rule: bool = False,
+                      pdir=None, pdir_steps: int = 0, pdir_shift: int = 0):
+    codes = kops.unpack_codes(packed, lengths, L, n_rows, n_cols)
+    return _map_batch.__wrapped__(
+        codes, lengths, k, keys, cid, pos, flip, ctg_len,
+        align_len=align_len, half_rule=half_rule,
+        pdir=pdir, pdir_steps=pdir_steps, pdir_shift=pdir_shift,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
     "k", "align_len", "half_rule", "pdir_steps", "pdir_shift"))
 def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
                align_len: int = ALIGN_LEN, half_rule: bool = False,
@@ -386,13 +400,26 @@ def map_reads(
             dev = mapper.map_batch(batch.codes, batch.lengths,
                                    align_len=align_len, half_rule=half_rule)
         else:
-            dev = _map_batch(
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths), index.k,
-                keys, cid, pos_a, flip, clen,
-                align_len=align_len, half_rule=half_rule,
-                pdir=pdir_dev, pdir_steps=index.pdir_steps,
-                pdir_shift=index.pdir_shift,
-            )
+            pi = kops.pack_codes_host(batch.codes, batch.lengths)
+            if pi is None:
+                dev = _map_batch(
+                    jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                    index.k, keys, cid, pos_a, flip, clen,
+                    align_len=align_len, half_rule=half_rule,
+                    pdir=pdir_dev, pdir_steps=index.pdir_steps,
+                    pdir_shift=index.pdir_shift,
+                )
+            else:
+                packed, nr, nc = pi
+                dev = _map_batch_packed(
+                    jnp.asarray(packed), jnp.asarray(batch.lengths),
+                    jnp.asarray(nr), jnp.asarray(nc),
+                    batch.codes.shape[1], index.k,
+                    keys, cid, pos_a, flip, clen,
+                    align_len=align_len, half_rule=half_rule,
+                    pdir=pdir_dev, pdir_steps=index.pdir_steps,
+                    pdir_shift=index.pdir_shift,
+                )
         if in_flight is not None:
             consume(*in_flight)
         in_flight = (batch, dev)

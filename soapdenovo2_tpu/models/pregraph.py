@@ -78,6 +78,26 @@ def count_reads_to_table(
             out["right"].reshape(b * p),
         )
 
+    @functools.partial(jax.jit, static_argnames=("L",))
+    def batch_rows_packed(packed, lengths, n_rows, n_cols, L):
+        # 2-bit packed upload (4x less tunnel traffic); unpack on device
+        codes = kops.unpack_codes(packed, lengths, L, n_rows, n_cols)
+        return batch_rows.__wrapped__(codes, lengths)
+
+    def ship(batch):
+        """Start the host->device transfer for one batch; returns a
+        thunk producing the raw rows."""
+        L = batch.codes.shape[1]
+        pi = kops.pack_codes_host(batch.codes, batch.lengths)
+        if pi is None:  # N-heavy batch: unpacked fallback
+            codes_d = jnp.asarray(batch.codes)
+            lengths_d = jnp.asarray(batch.lengths)
+            return lambda: batch_rows(codes_d, lengths_d)
+        packed, nr, nc = pi
+        args = (jnp.asarray(packed), jnp.asarray(batch.lengths),
+                jnp.asarray(nr), jnp.asarray(nc))
+        return lambda: batch_rows_packed(*args, L=L)
+
     def flush():
         nonlocal table, capacity, pending, pending_rows, table_n
         if not pending:
@@ -102,23 +122,23 @@ def count_reads_to_table(
         pending = []
         pending_rows = 0
 
-    in_flight = None  # (device codes, device lengths, n)
+    in_flight = None  # (thunk, n)
     for batch in batches:
         batch = batch.trimmed()
-        dev = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths), batch.n)
+        dev = (ship(batch), batch.n)
         if in_flight is not None:
-            codes_d, lengths_d, n = in_flight
+            thunk, n = in_flight
             n_reads += n
-            bt = batch_rows(codes_d, lengths_d)
+            bt = thunk()
             pending.append(bt)
             pending_rows += bt.keys.shape[0]
             if len(pending) >= FLUSH_N:
                 flush()
         in_flight = dev
     if in_flight is not None:
-        codes_d, lengths_d, n = in_flight
+        thunk, n = in_flight
         n_reads += n
-        bt = batch_rows(codes_d, lengths_d)
+        bt = thunk()
         pending.append(bt)
         pending_rows += bt.keys.shape[0]
     flush()
@@ -352,6 +372,21 @@ def read_paths_batch(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "dir_steps", "dir_shift", "L")
+)
+def _arc_pairs_from_batch_packed(packed, lengths, n_rows, n_cols, L,
+                                 k, table_keys, state_edge, state_rank,
+                                 patch_keys, patch_edge, patch_twin,
+                                 table_dir=None, dir_steps: int = 0,
+                                 dir_shift: int = 0):
+    codes = kops.unpack_codes(packed, lengths, L, n_rows, n_cols)
+    return _arc_pairs_from_batch.__wrapped__(
+        codes, lengths, k, table_keys, state_edge, state_rank,
+        patch_keys, patch_edge, patch_twin, table_dir, dir_steps, dir_shift,
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("k", "dir_steps", "dir_shift")
 )
 def _arc_pairs_from_batch(codes, lengths, k, table_keys, state_edge, state_rank,
@@ -436,25 +471,39 @@ def build_arcs(
                     paths.append(path)
                     marker[path] = np.minimum(marker[path] + 1, 255)
 
-    in_flight = None  # ship next batch to device before consuming current
-    for batch in batches:
-        batch = batch.trimmed()
-        dev = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths), batch.n)
-        if in_flight is not None:
-            codes_d, lengths_d, n = in_flight
-            consume(*_arc_pairs_from_batch(
+    def ship(batch):
+        L = batch.codes.shape[1]
+        pi = kops.pack_codes_host(batch.codes, batch.lengths)
+        if pi is None:
+            codes_d = jnp.asarray(batch.codes)
+            lengths_d = jnp.asarray(batch.lengths)
+            return lambda: _arc_pairs_from_batch(
                 codes_d, lengths_d, k, table.keys, state_edge, state_rank,
                 patch_keys, patch_edge, patch_twin,
                 table_dir, dsteps, dshift,
-            ), n)
+            )
+        packed, nr, nc = pi
+        args = (jnp.asarray(packed), jnp.asarray(batch.lengths),
+                jnp.asarray(nr), jnp.asarray(nc))
+        return lambda: _arc_pairs_from_batch_packed(
+            *args, L=L, k=k, table_keys=table.keys,
+            state_edge=state_edge, state_rank=state_rank,
+            patch_keys=patch_keys, patch_edge=patch_edge,
+            patch_twin=patch_twin, table_dir=table_dir,
+            dir_steps=dsteps, dir_shift=dshift,
+        )
+
+    in_flight = None  # ship next batch to device before consuming current
+    for batch in batches:
+        batch = batch.trimmed()
+        dev = (ship(batch), batch.n)
+        if in_flight is not None:
+            thunk, n = in_flight
+            consume(*thunk(), n)
         in_flight = dev
     if in_flight is not None:
-        codes_d, lengths_d, n = in_flight
-        consume(*_arc_pairs_from_batch(
-            codes_d, lengths_d, k, table.keys, state_edge, state_rank,
-            patch_keys, patch_edge, patch_twin,
-            table_dir, dsteps, dshift,
-        ), n)
+        thunk, n = in_flight
+        consume(*thunk(), n)
     flush()
     return arcs, marker, paths
 

@@ -460,7 +460,8 @@ def _adjacency(g: SparseGraph):
     return adj, radj
 
 
-def sparse_chains(g: SparseGraph) -> List[SparseChain]:
+def sparse_chains(g: SparseGraph,
+                  join_splits: bool = False) -> List[SparseChain]:
     """Walk unambiguous sparse chains (build_edge.cpp kmer2edges:888,
     host-side over the small graph).  Every chain is reported in BOTH
     orientations (mirror chains pair up as twins); isolated nodes become
@@ -514,6 +515,97 @@ def sparse_chains(g: SparseGraph) -> List[SparseChain]:
                 seq=_seq_of_state(g, (i, 0)), cov=float(g.node_cov[i]),
                 start=(i, 0), end=(i, 0), nodes=[i], first_cov=0,
             ))
+    if join_splits:
+        out = _join_error_splits(g, out, adj, radj)
+    return out
+
+
+def _join_error_splits(g: SparseGraph, chains: List[SparseChain],
+                       adj, radj) -> List[SparseChain]:
+    """Re-join chains split by sequencing errors.
+
+    A single error re-selects minimizers locally, so a true chain loses
+    one kmer-edge and breaks into a DEAD-END tail and a DEAD-START head
+    whose sequences still overlap by k-d exact bases (d <= gap, the
+    distance between the flanking selected k-mers).  The reference's
+    dense graph sees every k-mer and never breaks here (README.md:158
+    claims sparse ~= dense contiguity); this pass restores that by
+    merging on a unique maximal exact overlap in [k-gap, k-1], required
+    unique in BOTH directions (repeat-ambiguous joins stay split).
+    Mirror chains join symmetrically, preserving twin pairing."""
+    k, gap = g.k, g.gap
+    min_ov = max(k - gap, 12)
+    m = min_ov
+    comp = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+    heads: Dict[str, List[int]] = {}
+    for j, ch in enumerate(chains):
+        if radj.get(ch.start, 0) == 0 and len(ch.seq) >= k:
+            heads.setdefault(ch.seq[:m], []).append(j)
+    succ_cand: Dict[int, set] = {}
+    pred_cand: Dict[int, set] = {}
+    best_ov: Dict[Tuple[int, int], int] = {}
+    for i, ch in enumerate(chains):
+        if adj.get(ch.end) or len(ch.seq) < k:
+            continue  # ends at a branch, not an error break
+        rc_i = ch.seq.encode().translate(comp)[::-1].decode()
+        for L in range(min(k - 1, len(ch.seq)), min_ov - 1, -1):
+            probe = ch.seq[len(ch.seq) - L : len(ch.seq) - L + m]
+            for j in heads.get(probe, ()):
+                if j == i:
+                    continue
+                cj = chains[j]
+                if L > len(cj.seq) or ch.seq[-L:] != cj.seq[:L]:
+                    continue
+                if cj.seq == rc_i:
+                    continue  # hairpin to own twin
+                succ_cand.setdefault(i, set()).add(j)
+                pred_cand.setdefault(j, set()).add(i)
+                best_ov.setdefault((i, j), L)
+    nxt: Dict[int, int] = {}
+    for i, s in succ_cand.items():
+        if len(s) != 1:
+            continue
+        j = next(iter(s))
+        if len(pred_cand.get(j, ())) == 1:
+            nxt[i] = j
+    if not nxt:
+        return chains
+    has_pred = set(nxt.values())
+    used = [False] * len(chains)
+    out: List[SparseChain] = []
+    for i in range(len(chains)):
+        if used[i] or i in has_pred:
+            continue
+        run = [i]
+        used[i] = True
+        cur = i
+        while cur in nxt and not used[nxt[cur]]:
+            cur = nxt[cur]
+            run.append(cur)
+            used[cur] = True
+        if len(run) == 1:
+            out.append(chains[i])
+            continue
+        seq = chains[run[0]].seq
+        covw = chains[run[0]].cov * len(seq)
+        nodes = list(chains[run[0]].nodes)
+        for a, b in zip(run, run[1:]):
+            L = best_ov[(a, b)]
+            nxt_ch = chains[b]
+            seq += nxt_ch.seq[L:]
+            covw += nxt_ch.cov * (len(nxt_ch.seq) - L)
+            nodes.extend(nxt_ch.nodes)
+        out.append(SparseChain(
+            seq=seq, cov=covw / max(len(seq), 1),
+            start=chains[run[0]].start, end=chains[run[-1]].end,
+            nodes=nodes, first_cov=chains[run[0]].first_cov,
+        ))
+    # cycle leftovers (every member has a pred): emit unmerged
+    for i in range(len(chains)):
+        if not used[i]:
+            out.append(chains[i])
+            used[i] = True
     return out
 
 
@@ -557,7 +649,7 @@ def sparse_to_unitigs(g: SparseGraph) -> List[Tuple[str, float]]:
     lexicographically smaller orientation."""
     comp = bytes.maketrans(b"ACGTN", b"TGCAN")
     dedup: Dict[str, Tuple[str, float]] = {}
-    for ch in sparse_chains(g):
+    for ch in sparse_chains(g, join_splits=True):
         rc = ch.seq.encode().translate(comp)[::-1].decode()
         key = min(ch.seq, rc)
         if key not in dedup or len(ch.seq) > len(dedup[key][0]):
@@ -581,7 +673,7 @@ def write_sparse_pregraph_files(
     Returns the number of undirected edge records."""
     from ..io import files as fio
 
-    chains = sparse_chains(g)
+    chains = sparse_chains(g, join_splits=True)
     n = len(chains)
     comp = bytes.maketrans(b"ACGTN", b"TGCAN")
 

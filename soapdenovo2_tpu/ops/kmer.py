@@ -585,3 +585,50 @@ def string_to_kmer(s: str) -> np.ndarray:
     for c in s:
         v = (v << 2) | int(_BASE_FROM_CHAR[ord(c)])
     return int_to_kmer(v, k)
+
+
+# -- packed host->device read transfer ---------------------------------------
+# The remote-device tunnel moves ~20 MB/s (and degrades much further
+# under load): shipping read batches as one uint8 PER BASE makes every
+# full-stream pass pay a 150 MB upload at 5 Mb scale.  Pack 4 bases/byte
+# on the host and unpack on device; interior N bases (rare) travel as a
+# fixed-capacity exception list.
+
+N_EXC_CAP = 512  # per-batch interior-N capacity; overflow -> unpacked path
+
+
+def pack_codes_host(codes: np.ndarray, lengths: np.ndarray):
+    """(B, L) uint8 codes -> ((B, ceil(L/4)) packed, n_rows, n_cols) or
+    None when the batch has more than N_EXC_CAP interior Ns."""
+    B, L = codes.shape
+    inside = np.arange(L)[None, :] < lengths[:, None]
+    rows, cols = np.nonzero((codes >= BASE_N) & inside)
+    if rows.size > N_EXC_CAP:
+        return None
+    lp = (L + 3) & ~3
+    tmp = np.zeros((B, lp), np.uint8)
+    np.minimum(codes, 3, out=tmp[:, :L])
+    q = tmp.reshape(B, lp // 4, 4)
+    packed = (
+        (q[:, :, 0] << 6) | (q[:, :, 1] << 4) | (q[:, :, 2] << 2)
+        | q[:, :, 3]
+    ).astype(np.uint8)
+    n_rows = np.full((N_EXC_CAP,), B, np.int32)  # B = drop sentinel
+    n_cols = np.zeros((N_EXC_CAP,), np.int32)
+    n_rows[: rows.size] = rows
+    n_cols[: cols.size] = cols
+    return packed, n_rows, n_cols
+
+
+def unpack_codes(packed, lengths, L: int, n_rows, n_cols):
+    """Device-side inverse of pack_codes_host (call under jit)."""
+    B = packed.shape[0]
+    b = packed
+    quads = jnp.stack(
+        [(b >> 6) & 3, (b >> 4) & 3, (b >> 2) & 3, b & 3], axis=-1
+    ).reshape(B, -1)[:, :L]
+    pos = jnp.arange(L, dtype=jnp.int32)
+    codes = jnp.where(pos[None, :] < lengths[:, None], quads,
+                      jnp.uint8(BASE_N)).astype(jnp.uint8)
+    codes = codes.at[n_rows, n_cols].set(jnp.uint8(BASE_N), mode="drop")
+    return codes

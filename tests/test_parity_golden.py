@@ -119,7 +119,9 @@ def test_golden_sparse(tmp_path):
 
     res = run_parity(str(tmp_path), genome_len=20_000, k=23, sparse=True)
     ref, tpu = res["ref"], res["tpu"]
-    assert tpu["scaffold"]["N50"] >= 0.3 * ref["scaffold"]["N50"]
+    # split-join (sparse._join_error_splits) recovers error-broken chains:
+    # measured 0.78x the DENSE reference bar (r3; was ~0.3x before)
+    assert tpu["scaffold"]["N50"] >= 0.7 * ref["scaffold"]["N50"]
     assert tpu["matched"] >= 0.9 * ref["matched"]
     assert tpu["mismatched"] <= max(ref["mismatched"], 200)
 
