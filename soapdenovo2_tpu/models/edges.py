@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,8 @@ from ..ops import chains as chain_ops
 from ..ops import kmer as kops
 from ..ops import sortcount as sc
 from . import kmer_graph as kg
+
+log = logging.getLogger("soapdenovo2_tpu.edges")
 
 
 def _pack_bits_dev(mask):
@@ -248,9 +251,14 @@ def _edges_phase4(g: kg.PreGraph, state_edge, state_rank, seq_off_dev,
 
 def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     """Contract all linear chains into directed edges."""
+    import time as _time
+
+    _t0 = _time.time()
     C = g.keys.shape[0]
     S = 2 * C
     g, labels, start_packed, cyc_packed = _edges_phase1(g, k)
+    log.info("edges phase1 (refresh+label) %.1fs", _time.time() - _t0)
+    _t0 = _time.time()
 
     # ------------------------------------------------------------------
     # enumerate starts: (branch node, orient, exit base) with side cov > 0
@@ -292,6 +300,9 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         first_kmer_all = np.zeros((0, kops.num_words(k)), np.uint32)
         tbase_all = np.zeros((0,), np.uint8)
 
+    log.info("edges phase2 (starts %d) %.1fs", nstarts,
+             _time.time() - _t0)
+    _t0 = _time.time()
     keep = (j >= 0) & (term_state >= 0)  # defensive; true after refresh
     if not keep.all():
         (s_node, s_orient, s_base, first_state, chain_start, ch_len,
@@ -453,6 +464,7 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         patch_edge = np.zeros((0,), np.int32)
         patch_twin = np.zeros((0,), np.int32)
 
+    log.info("edges phases3-5 %.1fs", _time.time() - _t0)
     return EdgeGraph(
         k=k,
         n_edges=E,
