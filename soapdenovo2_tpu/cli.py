@@ -35,7 +35,7 @@ def _common_pregraph_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-z", dest="genome_size", type=int, default=0,
                    help="genome size hint: pre-sizes the k-mer table "
                         "(avoids growth recompiles)")
-    p.add_argument("--batch", dest="batch_size", type=int, default=16384)
+    p.add_argument("--batch", dest="batch_size", type=int, default=49152)
 
 
 def _contig_args(p: argparse.ArgumentParser) -> None:
@@ -69,7 +69,7 @@ def _map_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-k", dest="map_kmer", type=int, default=0,
                    help="smaller k for mapping (default: assembly K)")
     p.add_argument("-p", dest="ncpu", type=int, default=8)
-    p.add_argument("--batch", dest="batch_size", type=int, default=16384)
+    p.add_argument("--batch", dest="batch_size", type=int, default=49152)
 
 
 def _scaff_args(p: argparse.ArgumentParser) -> None:
@@ -148,7 +148,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "2 build+checkpoint graph only, 3 edges only, "
                          "4 preArcs only")
     sp.add_argument("-p", dest="ncpu", type=int, default=8)
-    sp.add_argument("--batch", dest="batch_size", type=int, default=16384)
+    sp.add_argument("--batch", dest="batch_size", type=int, default=49152)
     fus = sub.add_parser(
         "fusion", help="scaffold external contigs (SOAPdenovo-fusion)"
     )

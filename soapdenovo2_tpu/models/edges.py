@@ -129,13 +129,27 @@ def _edges_successors(g: kg.PreGraph, k: int, pdir, psteps: int,
 
 
 def _edges_chain_inputs(g: kg.PreGraph, k: int):
-    """Refresh links + successor states for chain labeling, staged as TWO
-    device programs with a sync between (the former single fused program
-    faulted the axon TPU worker at 33M states) and a prefix directory
-    shortening every lookup's gather chain."""
+    """Successor states for chain labeling, staged device programs with a
+    prefix directory shortening every lookup's gather chain.
+
+    The refresh_links pass (8 full-table neighbor lookups, ~30 s at 16M
+    nodes) is SKIPPED by default: a cov>0 entry's neighbor window always
+    exists at table-build time (the adjacency was observed in a read, so
+    the neighbor k-mer was extracted from that same read), and every
+    deletion pass maintains symmetric dislinks (de_low_cov zeroes the
+    pair on both sides — equal counts, equal 63-saturation — and tip
+    clipping dislinks/deletes the out node explicitly).  Successor
+    lookups still verify existence per hop (next_of returns -1), so a
+    violation degrades to a chain break, not corruption.  Set
+    SOAP_TPU_REFRESH_LINKS=1 to restore the full pass."""
+    import os
+
     pdir, psteps, pshift = sc.build_prefix_dir_device(g.keys, k)
-    g = _edges_refresh(g, k, pdir, psteps, pshift)
-    jax.block_until_ready(g.covs)
+    if os.environ.get("SOAP_TPU_REFRESH_LINKS", "0") == "1":
+        g = _edges_refresh(g, k, pdir, psteps, pshift)
+        jax.block_until_ready(g.covs)
+    else:
+        g = kg.mark_linear(g)
     on_chain, nxt = _edges_successors(g, k, pdir, psteps, pshift)
     return g, on_chain, nxt
 

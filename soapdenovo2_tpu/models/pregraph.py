@@ -40,6 +40,7 @@ def count_reads_to_table(
     k: int,
     max_len: int,
     init_capacity: int = 1 << 20,
+    device_cache: Optional[list] = None,
 ) -> Tuple[sc.KmerTable, int]:
     """Stream read batches into a merged, sorted k-mer table.
 
@@ -65,7 +66,11 @@ def count_reads_to_table(
     table_n = 0  # host-side upper bound on live table entries
     pending: list = []
     pending_rows = 0
-    FLUSH_N = 32  # constant fan-in => one XLA shape per capacity
+    # fan-in scaled so a flush covers ~0.5M read rows regardless of the
+    # batch size (bigger batches = fewer tunnel dispatches; the flush
+    # working set stays constant).  Constant per batch shape => one XLA
+    # shape per capacity.
+    flush_n = [32]
 
     @jax.jit
     def batch_rows(codes, lengths):
@@ -92,10 +97,16 @@ def count_reads_to_table(
         if pi is None:  # N-heavy batch: unpacked fallback
             codes_d = jnp.asarray(batch.codes)
             lengths_d = jnp.asarray(batch.lengths)
+            if device_cache is not None:
+                device_cache.append(None)  # cache unusable for this run
             return lambda: batch_rows(codes_d, lengths_d)
         packed, nr, nc = pi
         args = (jnp.asarray(packed), jnp.asarray(batch.lengths),
                 jnp.asarray(nr), jnp.asarray(nc))
+        if device_cache is not None:
+            # the packed batch stays HBM-resident (~0.4 MB each): the arc
+            # pass replays it without a second decode + tunnel upload
+            device_cache.append((args, L, batch.n))
         return lambda: batch_rows_packed(*args, L=L)
 
     def flush():
@@ -103,7 +114,7 @@ def count_reads_to_table(
         if not pending:
             return
         batch_cap = pending[0].keys.shape[0]
-        while len(pending) < FLUSH_N:
+        while len(pending) < flush_n[0]:
             pending.append(sc.empty_raw(batch_cap, k))
         rcap = min(capacity, pending_rows)
         l1 = sc.reduce_raws(tuple(pending), rcap)
@@ -125,6 +136,7 @@ def count_reads_to_table(
     in_flight = None  # (thunk, n)
     for batch in batches:
         batch = batch.trimmed()
+        flush_n[0] = min(32, max(8, (32 * 16384) // batch.codes.shape[0]))
         dev = (ship(batch), batch.n)
         if in_flight is not None:
             thunk, n = in_flight
@@ -132,7 +144,7 @@ def count_reads_to_table(
             bt = thunk()
             pending.append(bt)
             pending_rows += bt.keys.shape[0]
-            if len(pending) >= FLUSH_N:
+            if len(pending) >= flush_n[0]:
                 flush()
         in_flight = dev
     if in_flight is not None:
@@ -409,6 +421,7 @@ def build_arcs(
     table: sc.KmerTable,
     k: int,
     record_paths: bool = False,
+    cached: Optional[list] = None,
 ) -> Tuple[ArcAccumulator, np.ndarray, Optional[List[np.ndarray]]]:
     """Second read stream: accumulate preArcs (and optionally read paths).
 
@@ -434,14 +447,14 @@ def build_arcs(
     pending: list = []
     pending_rows = 0
     n_bound = 0  # host-side upper bound on live arcs (readback-free)
-    FLUSH_N = 32  # constant merge fan-in => one XLA shape per capacity
+    flush_n = [32]  # scaled per batch size below; one XLA shape per cap
 
     def flush():
         nonlocal arcs, capacity, pending, pending_rows, n_bound
         if not pending:
             return
         batch_cap = pending[0].keys.shape[0]
-        while len(pending) < FLUSH_N:
+        while len(pending) < flush_n[0]:
             pending.append(_empty_raw_arcs(batch_cap))
         rcap = min(_next_pow2(capacity), _next_pow2(pending_rows))
         l1 = _reduce_raw_arcs(tuple(pending), rcap)
@@ -461,7 +474,7 @@ def build_arcs(
         bt = _raw_arc_rows(prev, hit, is_arc)
         pending.append(bt)
         pending_rows += bt.keys.shape[0]
-        if len(pending) >= FLUSH_N:
+        if len(pending) >= flush_n[0]:
             flush()
         if record_paths:
             h = np.asarray(hits2d)[:n_rows]
@@ -493,9 +506,26 @@ def build_arcs(
             dir_steps=dsteps, dir_shift=dshift,
         )
 
+    if cached is not None:
+        # device-resident packed batches from the count pass: no decode,
+        # no upload — straight into the lookup program
+        for args, L, n in cached:
+            flush_n[0] = min(32, max(8, (32 * 16384) // args[0].shape[0]))
+            out = _arc_pairs_from_batch_packed(
+                *args, L=L, k=k, table_keys=table.keys,
+                state_edge=state_edge, state_rank=state_rank,
+                patch_keys=patch_keys, patch_edge=patch_edge,
+                patch_twin=patch_twin, table_dir=table_dir,
+                dir_steps=dsteps, dir_shift=dshift,
+            )
+            consume(*out, n)
+        flush()
+        return arcs, marker, paths
+
     in_flight = None  # ship next batch to device before consuming current
     for batch in batches:
         batch = batch.trimmed()
+        flush_n[0] = min(32, max(8, (32 * 16384) // batch.codes.shape[0]))
         dev = (ship(batch), batch.n)
         if in_flight is not None:
             thunk, n = in_flight
@@ -659,8 +689,10 @@ def run_pregraph(
             n=jnp.asarray(np.int32(uk.shape[0])),
         )
     else:
+        batch_cache: list = []
         table, n_reads = count_reads_to_table(
-            read_batches(), k, max_len, init_capacity=init_cap
+            read_batches(), k, max_len, init_capacity=init_cap,
+            device_cache=batch_cache,
         )
         table = shrink_table(table, k)
     if progress:
@@ -694,10 +726,12 @@ def run_pregraph(
             record_paths=record_paths,
         )
     else:
+        cached = batch_cache if None not in batch_cache else None
         arcs, marker, paths = build_arcs(
-            read_batches(),
+            read_batches() if cached is None else (),
             eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
             record_paths=record_paths,
+            cached=cached,
         )
     if progress:
         log.info(
