@@ -233,10 +233,17 @@ def read_pe_grads(prefix: str):
     grads = []
     with open(prefix + ".peGrads") as fh:
         head = fh.readline().split()
-        # 3-field header (n, n_reads, max_len); legacy wrote (n, max_len)
-        max_read_len = int(head[3]) if len(head) > 3 else (
-            int(head[2]) if len(head) > 2 else
-            (int(head[1]) if len(head) > 1 else 0))
+        # our header: (n, n_reads, max_len).  The reference writes only
+        # (n, n_solexa) — a 2-number header whose second value is a read
+        # COUNT, not a length; lengths are bounded (<=2048) so a large
+        # second value means reference format with no max_len recorded.
+        if len(head) > 3:
+            max_read_len = int(head[3])
+        elif len(head) > 2:
+            v = int(head[2])
+            max_read_len = v if v <= 2048 else 0
+        else:
+            max_read_len = int(head[1]) if len(head) > 1 else 0
         for line in fh:
             t = line.split()
             if len(t) >= 3:

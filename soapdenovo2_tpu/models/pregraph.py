@@ -114,7 +114,12 @@ def count_reads_to_table(
         if not pending:
             return
         batch_cap = pending[0].keys.shape[0]
-        while len(pending) < flush_n[0]:
+        # pow2 fan-in bounded by flush_n: a rows-triggered early flush
+        # (small table capacity) must not pad back up to the full fan-in
+        # — the 34M-row sort against a 4M-row table blew HBM at 2 Mb
+        target = min(flush_n[0],
+                     1 << max(len(pending) - 1, 0).bit_length())
+        while len(pending) < target:
             pending.append(sc.empty_raw(batch_cap, k))
         rcap = min(capacity, pending_rows)
         l1 = sc.reduce_raws(tuple(pending), rcap)
@@ -144,7 +149,7 @@ def count_reads_to_table(
             bt = thunk()
             pending.append(bt)
             pending_rows += bt.keys.shape[0]
-            if len(pending) >= flush_n[0]:
+            if len(pending) >= flush_n[0] or pending_rows >= 2 * capacity:
                 flush()
         in_flight = dev
     if in_flight is not None:
@@ -454,7 +459,9 @@ def build_arcs(
         if not pending:
             return
         batch_cap = pending[0].keys.shape[0]
-        while len(pending) < flush_n[0]:
+        target = min(flush_n[0],
+                     1 << max(len(pending) - 1, 0).bit_length())
+        while len(pending) < target:
             pending.append(_empty_raw_arcs(batch_cap))
         rcap = min(_next_pow2(capacity), _next_pow2(pending_rows))
         l1 = _reduce_raw_arcs(tuple(pending), rcap)
