@@ -156,3 +156,30 @@ def test_tip_removal():
     gstr = genome.decode()
     assert len(best) >= len(gstr) - 250
     assert best in gstr or revcomp_str(best) in gstr
+
+
+def test_rows_triggered_flush_small_capacity():
+    """A small table capacity must trigger early (pow2 fan-in) flushes
+    instead of accumulating the full fan-in of raw rows — the 34M-row
+    sort against a 4M-row table OOM'd HBM at 2 Mb scale (r3)."""
+    genome = sim.random_genome(30_000, seed=9)
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=80, insert_size=300,
+                                   coverage=20.0, seed=10)
+    reads = [x for p in zip(r1, r2) for x in p]
+    # capacity far below one batch's raw rows: every batch flushes alone
+    small, _ = pg.count_reads_to_table(
+        rio.batch_reads(iter(reads), 512, 80), K, 80,
+        init_capacity=1 << 12,
+    )
+    big, _ = pg.count_reads_to_table(
+        rio.batch_reads(iter(reads), 512, 80), K, 80,
+        init_capacity=1 << 18,
+    )
+    ns, nb = int(small.n), int(big.n)
+    assert ns == nb
+    ks = np.asarray(small.keys)[:ns]
+    kb = np.asarray(big.keys)[:nb]
+    assert (ks == kb).all()
+    cs = np.asarray(small.covs)[:ns]
+    cb = np.asarray(big.covs)[:nb]
+    assert (cs == cb).all()
