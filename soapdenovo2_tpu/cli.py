@@ -51,8 +51,9 @@ def _contig_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("-m", dest="max_k", type=int, default=0,
                    help="max k for multi-k iteration (requires -s)")
     p.add_argument("--iter-step", dest="iter_step", type=int, default=0,
-                   help="k increment per iteration level (0 = ~4 levels; "
-                        "2 = the reference's every-odd-k sweep)")
+                   help="k increment per iteration level (0/2 = the "
+                        "reference's every-odd-k sweep; 4+ = cheaper "
+                        "coarse sweep)")
     p.add_argument("-s", dest="config", default=None,
                    help="read config (required with -m)")
     p.add_argument("-d", dest="kmer_freq_cutoff", type=int, default=1)

@@ -61,18 +61,22 @@ class ContigIndex:
 
 def build_contig_index(contig_seqs: List[str], k: int,
                        batch_rows: int = 512) -> ContigIndex:
-    """Chop contigs >= k+2 long into a repeat-masked k-mer index."""
+    """Chop contigs >= k+2 long into a repeat-masked k-mer index.
+
+    Fully device-resident: per-batch extraction flattens into (rows, W)
+    keys + (cid, pos, flip) payloads ON DEVICE, one device sort dedups
+    and repeat-masks, and the arrays never cross the tunnel (the former
+    host lexsort + per-batch downloads cost ~17 s at a 5M-kmer index)."""
+    import jax
+
     kops.validate_k(k)
     n = len(contig_seqs)
     ctg_len = np.zeros((2 * n,), np.int32)
-    all_keys = []
-    all_cid = []
-    all_pos = []
-    all_flip = []
-    # process contigs in padded batches of equal-ish length, bounded by a
-    # POSITION budget — a fixed row count let one long contig pad the
-    # whole batch to its length (46M-position arrays and a 25 s download
-    # over the tunnel at 5 Mb scale)
+    dev_keys = []
+    dev_cid = []
+    dev_pos = []
+    dev_flip = []
+    dev_valid = []
     for t in range(n):
         ctg_len[2 * t] = ctg_len[2 * t + 1] = len(contig_seqs[t])
     order = sorted(range(n), key=lambda t: len(contig_seqs[t]))
@@ -92,44 +96,82 @@ def build_contig_index(contig_seqs: List[str], k: int,
         codes = np.full((len(rows), maxlen), kops.BASE_N, np.uint8)
         lengths = np.zeros((len(rows),), np.int32)
         for r, t in enumerate(rows):
-            s = contig_seqs[t]
-            if len(s) < k + 2:  # prlContig2nodes skips short contigs
+            seq = contig_seqs[t]
+            if len(seq) < k + 2:  # prlContig2nodes skips short contigs
                 continue
-            lengths[r] = rio.encode_read(s.encode(), codes[r])
+            lengths[r] = rio.encode_read(seq.encode(), codes[r])
         out = kops.extract_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
-        words = np.asarray(out["words"])
-        valid = np.asarray(out["valid"])
-        flip = np.asarray(out["is_rc"])
-        rr, pp = np.nonzero(valid)  # one vectorized pass, no per-row loop
-        if rr.size:
-            all_keys.append(words[rr, pp])
-            all_cid.append(
-                (2 * np.asarray(rows, np.int64)[rr]).astype(np.int32)
-            )
-            all_pos.append(pp.astype(np.int32))
-            all_flip.append(flip[rr, pp])
-    if not all_keys:
-        w = kops.num_words(k)
+        R, P, W = out["words"].shape
+        dev_keys.append(out["words"].reshape(R * P, W))
+        dev_valid.append(out["valid"].reshape(R * P))
+        dev_flip.append(out["is_rc"].reshape(R * P))
+        rows_dev = jnp.asarray(np.asarray(rows, np.int32) * 2)
+        dev_cid.append(jnp.repeat(rows_dev, P))
+        dev_pos.append(jnp.tile(jnp.arange(P, dtype=jnp.int32), R))
+    w = kops.num_words(k)
+    if not dev_keys:
         return ContigIndex(k, np.zeros((0, w), np.uint32),
                            np.zeros((0,), np.int32), np.zeros((0,), np.int32),
                            np.zeros((0,), bool), ctg_len, n).with_dir()
-    keys = np.concatenate(all_keys)
-    cid = np.concatenate(all_cid)
-    pos = np.concatenate(all_pos)
-    flip = np.concatenate(all_flip)
-    # sort + repeat-mask duplicates (kmers seen >= 2x are deleted,
-    # prlHashCtg.c singleKmer:129)
-    order2 = np.lexsort(tuple(keys[:, i] for i in range(keys.shape[1] - 1, -1, -1)))
-    keys, cid, pos, flip = keys[order2], cid[order2], pos[order2], flip[order2]
-    new = np.ones((keys.shape[0],), bool)
-    new[1:] = (keys[1:] != keys[:-1]).any(axis=1)
-    grp = np.cumsum(new) - 1
-    cnt = np.bincount(grp)
-    uniq = cnt[grp] == 1
-    return ContigIndex(
-        k=k, keys=keys[uniq], cid=cid[uniq], pos=pos[uniq],
-        flip=flip[uniq], ctg_len=ctg_len, n_contigs=n,
-    ).with_dir()
+    keys = jnp.concatenate(dev_keys)
+    valid = jnp.concatenate(dev_valid)
+    cid = jnp.concatenate(dev_cid)
+    pos = jnp.concatenate(dev_pos)
+    flip = jnp.concatenate(dev_flip)
+    keys, cid, pos, flip, n_live = _index_sort_dedup(
+        keys, valid, cid, pos, flip
+    )
+    nl = int(n_live)  # one scalar readback
+    idx = ContigIndex(
+        k=k, keys=keys[:_pow2(nl)], cid=cid[:_pow2(nl)],
+        pos=pos[:_pow2(nl)], flip=flip[:_pow2(nl)],
+        ctg_len=ctg_len, n_contigs=n,
+    )
+    # trim to exactly nl live rows (sentinel tail rows keep lookups
+    # correct, but the pow2 slice bounds memory)
+    idx.keys = idx.keys[:nl] if nl else idx.keys[:0]
+    idx.cid = idx.cid[:nl]
+    idx.pos = idx.pos[:nl]
+    idx.flip = idx.flip[:nl]
+    d, st, sh = sc.build_prefix_dir_device(idx.keys, k)
+    idx.pdir, idx.pdir_steps, idx.pdir_shift = d, st, sh
+    return idx
+
+
+def _pow2(x: int, lo: int = 1) -> int:
+    return max(lo, 1 << max(x - 1, 0).bit_length())
+
+
+@jax.jit
+def _index_sort_dedup(keys, valid, cid, pos, flip):
+    """Device sort + repeat-mask: unique k-mers only (singleKmer:129)."""
+    W = keys.shape[1]
+    keys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF))
+    ops = tuple(keys[:, i] for i in range(W)) + (
+        cid.astype(jnp.int32), pos.astype(jnp.int32),
+        flip.astype(jnp.int32),
+    )
+    out = jax.lax.sort(ops, num_keys=W)
+    sk = jnp.stack(out[:W], axis=-1)
+    cid_s, pos_s, flip_s = out[W], out[W + 1], out[W + 2]
+    live = ~jnp.all(sk == jnp.uint32(0xFFFFFFFF), axis=-1)
+    new = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         jnp.any(sk[1:] != sk[:-1], axis=-1)]
+    ) & live
+    nxt_new = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    uniq = new & nxt_new & live  # group of size exactly 1
+    # compact unique rows to the front (stable sort by ~uniq)
+    iota = jnp.arange(sk.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort(
+        (jnp.where(uniq, 0, 1).astype(jnp.int32), iota),
+        num_keys=1, is_stable=True,
+    )
+    n_live = jnp.sum(uniq.astype(jnp.int32))
+    in_range = iota < n_live
+    ks2 = jnp.where(in_range[:, None], sk[perm], jnp.uint32(0xFFFFFFFF))
+    return (ks2, cid_s[perm], pos_s[perm],
+            flip_s[perm].astype(bool), n_live)
 
 
 @functools.partial(jax.jit, static_argnames=(
