@@ -319,7 +319,12 @@ def _cmd_scaff_gapfill_only(args, compat: bool) -> None:
 
     contigs = ck.load_contigs(args.prefix)
     scaffolds = fio.read_scaf_gap(args.prefix)
-    gap_reads = fio.read_read_in_gap(args.prefix, compat=compat)
+    try:
+        ref2dir = fio.read_contig_index(args.prefix).ref2dir
+    except FileNotFoundError:
+        ref2dir = None
+    gap_reads = fio.read_read_in_gap(args.prefix, compat=compat,
+                                     ref2dir=ref2dir)
     if args.fill_gaps and len(gap_reads):
         seqs, gap_seqs, _ = gapfill.fill_gaps(scaffolds, contigs, gap_reads)
     else:

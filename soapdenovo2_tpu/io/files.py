@@ -411,6 +411,13 @@ def read_contig_cvg(prefix: str, n: int) -> Optional[np.ndarray]:
                 if not line.startswith(">length"):
                     continue
                 fields = line[len(">length "):].split(",")
+                if len(fields) >= 4 and "." in fields[3]:
+                    # legacy (pre-r3) format: L,cid,bal,cvg — one line per
+                    # undirected contig, cvg a plain float
+                    if t < n:
+                        cvg[t] = float(fields[3])
+                    t += 1
+                    continue
                 flag = int(fields[1])
                 if flag == -1:
                     continue  # twin line
@@ -723,10 +730,14 @@ def _read_gap_records(read_fn, pool, ref2dir) -> int:
         else:
             c = ref - 1
         pool.anchor_ctg.append(c)
-        pool.anchor_pos.append(pos)
-        # records carry the EXPECTED read start, not mate pos + ins: store
-        # ins = len so anchor_pos + ins - len round-trips (see GapReads)
-        pool.insert_size.append(ln)
+        # records carry the EXPECTED read start (pos = mate + ins - len,
+        # getReadIngap:589).  Re-anchor as (pos - 2*len, ins = 3*len) so
+        # gap-pool windowing [anchor + max(ins-3rl,0), anchor + ins + rl]
+        # spans [pos - 2rl, pos + 2rl] — the same reach as the in-memory
+        # pool's [mate + ins - 3rl, mate + ins + rl]; the write formula
+        # anchor + ins - len = pos keeps the round-trip stable
+        pool.anchor_pos.append(pos - 2 * ln)
+        pool.insert_size.append(3 * ln)
         pool.seqs.append(codes.tobytes())
         n += 1
     return n
@@ -868,8 +879,12 @@ def _scafstat_section(fh, title: str, path: str, label: str,
     counts: List[List[int]] = []  # per-record [A,C,G,T,N,non]
     singleton = 0
     cur = None
-    idx = {"A": 0, "a": 0, "C": 1, "c": 1, "G": 2, "g": 2,
-           "T": 3, "t": 3, "N": 4, "n": 4}
+    # byte -> tally lane (A/C/G/T/N/other), vectorized per line — a
+    # per-character Python loop costs seconds per scaff run at Mb scale
+    lane = np.full(256, 5, np.uint8)
+    for i, chars in enumerate(["Aa", "Cc", "Gg", "Tt", "Nn"]):
+        for ch in chars:
+            lane[ord(ch)] = i
     try:
         fhin = open(path)
     except FileNotFoundError:
@@ -891,8 +906,11 @@ def _scafstat_section(fh, title: str, path: str, label: str,
                 if cur is None:
                     cur = [0, 0, 0, 0, 0, 0]
                     cur_single = False
-                for ch in line.strip():
-                    cur[idx.get(ch, 5)] += 1
+                buf = np.frombuffer(line.strip().encode(), np.uint8)
+                if buf.size:
+                    tally = np.bincount(lane[buf], minlength=6)
+                    for j in range(6):
+                        cur[j] += int(tally[j])
             if cur is not None and sum(cur) >= cut_off_len:
                 sizes.append(sum(cur))
                 counts.append(cur)

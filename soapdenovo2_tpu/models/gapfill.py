@@ -303,8 +303,13 @@ def _fill_jobs_device(
         if branched[g]:
             # the lockstep walk hit a real branch: greedy may have taken
             # the wrong arm — re-run this gap through the bounded branch
-            # DFS (searchFgap:792 explores every arm)
+            # DFS (searchFgap:792 explores every arm).  A greedy SUCCESS
+            # stays the fallback: the DFS's tighter length window /
+            # trace budget must not discard a closure the walk made
             r = _dfs_host(lf, rf, reads, gap_est, k, min_cov)
+            if r is None and success[g]:
+                seq = "".join(_CODE2CHAR[b] for b in bases[g, : fill_len[g]])
+                r = ("fill", seq)
             if r is not None:
                 stats.filled += 1
             bridges[key] = r

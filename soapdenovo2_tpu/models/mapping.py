@@ -155,12 +155,11 @@ def _index_sort_dedup(keys, valid, cid, pos, flip):
     sk = jnp.stack(out[:W], axis=-1)
     cid_s, pos_s, flip_s = out[W], out[W + 1], out[W + 2]
     live = ~jnp.all(sk == jnp.uint32(0xFFFFFFFF), axis=-1)
-    new = jnp.concatenate(
-        [jnp.ones((1,), bool),
-         jnp.any(sk[1:] != sk[:-1], axis=-1)]
-    ) & live
-    nxt_new = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
-    uniq = new & nxt_new & live  # group of size exactly 1
+    boundary = jnp.any(sk[1:] != sk[:-1], axis=-1)  # UNMASKED: the
+    # last live group's boundary to the sentinel rows must count
+    new = jnp.concatenate([jnp.ones((1,), bool), boundary]) & live
+    nxt_boundary = jnp.concatenate([boundary, jnp.ones((1,), bool)])
+    uniq = new & nxt_boundary & live  # group of size exactly 1
     # compact unique rows to the front (stable sort by ~uniq)
     iota = jnp.arange(sk.shape[0], dtype=jnp.int32)
     _, perm = jax.lax.sort(
@@ -231,17 +230,21 @@ def _map_batch(codes, lengths, k, keys, cid, pos, flip, ctg_len,
     sort_key = jnp.where(hit_cid >= 0, hit_cid, jnp.int32(2**30))
     key_s, p_s = jax.lax.sort((sort_key, iota), num_keys=1, is_stable=True)
     valid_s = key_s < 2**30
+    # run boundaries from the UNMASKED key change: the boundary between
+    # the last real contig run and the sentinel run must count, or the
+    # trailing invalid slots inflate the last run's length
+    boundary = key_s[:, 1:] != key_s[:, :-1]  # (B, P-1)
     new = jnp.concatenate(
-        [jnp.ones((B, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1
+        [jnp.ones((B, 1), bool), boundary], axis=1
     ) & valid_s  # run heads (first occurrence in read order per contig)
     pos_idx = jnp.arange(P, dtype=jnp.int32)[None, :]
     # start of each element's run / start of the NEXT run -> run length
     run_start = jax.lax.cummax(jnp.where(new, pos_idx, 0), axis=1)
-    next_is_head = jnp.concatenate(
-        [new[:, 1:], jnp.ones((B, 1), bool)], axis=1
+    next_is_boundary = jnp.concatenate(
+        [boundary, jnp.ones((B, 1), bool)], axis=1
     )
     nxt_start = jax.lax.cummin(
-        jnp.where(next_is_head, pos_idx + 1, P), axis=1, reverse=True
+        jnp.where(next_is_boundary, pos_idx + 1, P), axis=1, reverse=True
     )
     count_s = jnp.where(valid_s, nxt_start - run_start, 0)  # (B, P)
 

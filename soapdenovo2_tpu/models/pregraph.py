@@ -71,6 +71,7 @@ def count_reads_to_table(
     # working set stays constant).  Constant per batch shape => one XLA
     # shape per capacity.
     flush_n = [32]
+    cache_bytes = [0]
 
     @jax.jit
     def batch_rows(codes, lengths):
@@ -105,8 +106,15 @@ def count_reads_to_table(
                 jnp.asarray(nr), jnp.asarray(nc))
         if device_cache is not None:
             # the packed batch stays HBM-resident (~0.4 MB each): the arc
-            # pass replays it without a second decode + tunnel upload
-            device_cache.append((args, L, batch.n))
+            # pass replays it without a second decode + tunnel upload.
+            # Budgeted: past ~2 GB the cache is abandoned (None marker)
+            # and the arc pass re-streams — unbounded retention would
+            # OOM HBM at human-scale read volumes
+            cache_bytes[0] += packed.nbytes + 4 * packed.shape[0]
+            if cache_bytes[0] <= (2 << 30):
+                device_cache.append((args, L, batch.n))
+            elif not device_cache or device_cache[-1] is not None:
+                device_cache.append(None)
         return lambda: batch_rows_packed(*args, L=L)
 
     def flush():
@@ -442,11 +450,9 @@ def build_arcs(
     patch_edge = jnp.asarray(eg.patch_edge)
     patch_twin = jnp.asarray(eg.patch_twin)
     # prefix directory: cuts the per-kmer lookup from log2(C) to
-    # ~log2(max_bucket) dependent gathers
-    tdir_np, dsteps, dshift = sc.build_prefix_dir(
-        np.asarray(table.keys), k
-    )
-    table_dir = jnp.asarray(tdir_np)
+    # ~log2(max_bucket) dependent gathers.  Built ON DEVICE — the host
+    # variant downloaded the whole key table (~128 MB at 16M kmers)
+    table_dir, dsteps, dshift = sc.build_prefix_dir_device(table.keys, k)
     marker = np.zeros((eg.n_edges,), np.int32)
     paths: Optional[List[np.ndarray]] = [] if record_paths else None
     pending: list = []

@@ -619,23 +619,32 @@ def lookup_kmers(table_keys, queries):
 # bisection needs only ceil(log2(max_bucket)) steps (typically 6-10).
 
 
-def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20):
+def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20,
+                     n: Optional[int] = None):
     """Host-side directory build over a sorted key array.
 
     Returns (directory (2^eff+1,) int32, steps, shift) where
     ``directory[b]`` is the first row whose word-0 top ``eff`` significant
     bits equal b.  Word 0 of a k-mer holds ``top_word_bits(k)``
     significant LOW bits (ops/kmer.py layout), hence the k-dependent
-    shift; sentinel rows (all-ones word 0) clamp into the last bucket."""
+    shift.  ``n`` (live-row count) clamps the directory so SENTINEL tail
+    rows never land in the last bucket — without it the sentinel run
+    inflates max_bucket to ~capacity-n and ``steps`` back to ~log2(C),
+    neutralizing the whole optimization."""
     w0_bits = kops.top_word_bits(k)
     eff = max(1, min(bits, w0_bits))
     shift = w0_bits - eff
     nb = 1 << eff
-    top = np.minimum(keys[:, 0].astype(np.uint64) >> shift, nb - 1)
+    if n is None:
+        # derive the live count from the sentinel prefix (sorted keys:
+        # sentinels sort last)
+        w0 = keys[:, 0]
+        n = int(np.searchsorted(w0, np.uint32(0xFFFFFFFF), side="left"))             if keys.shape[0] else 0
+    top = np.minimum(keys[:n, 0].astype(np.uint64) >> shift, nb - 1)
     directory = np.searchsorted(
         top, np.arange(nb + 1, dtype=np.uint64), side="left"
     ).astype(np.int32)
-    if keys.shape[0]:
+    if n:
         max_bucket = int(np.diff(directory).max())
     else:
         max_bucket = 1
@@ -646,9 +655,15 @@ def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20):
 @functools.partial(jax.jit, static_argnames=("shift", "nb"))
 def _prefix_dir_device(keys, shift: int, nb: int):
     top = jnp.minimum(keys[:, 0] >> jnp.uint32(shift), jnp.uint32(nb - 1))
-    return jnp.searchsorted(
+    directory = jnp.searchsorted(
         top, jnp.arange(nb + 1, dtype=jnp.uint32), side="left"
     ).astype(jnp.int32)
+    # clamp sentinel tail rows out of every bucket (sorted keys: the
+    # sentinel run starts at the live count) — else the last bucket's
+    # size ~= capacity - n and the bisection step count degenerates
+    n_live = jnp.searchsorted(keys[:, 0], jnp.uint32(0xFFFFFFFF),
+                              side="left").astype(jnp.int32)
+    return jnp.minimum(directory, n_live)
 
 
 def build_prefix_dir_device(keys, k: int, bits: int = 20):

@@ -107,9 +107,14 @@ def test_read_in_gap_binary_roundtrip(tmp_path):
     back = fio.read_read_in_gap(prefix, ref2dir=m.ref2dir)
     assert len(back) == 2
     assert back.anchor_ctg == [0, 3]
-    # expected-read-start semantics: pos = anchor + ins - len
-    assert back.anchor_pos == [10 + 300 - 73, 40 + 500 - 74]
-    assert back.insert_size == [73, 74]  # ins := len for round-trip
+    # window-preserving re-anchoring: (pos - 2*len, ins = 3*len) keeps the
+    # gap-pool reach [pos-2rl, pos+2rl] AND the write formula
+    # anchor + ins - len == pos stable across round-trips
+    p1 = 10 + 300 - 73
+    p2 = 40 + 500 - 74
+    assert back.anchor_pos == [p1 - 2 * 73, p2 - 2 * 74]
+    assert back.insert_size == [3 * 73, 3 * 74]
+    assert (back.anchor_pos[0] + back.insert_size[0] - 73) == p1
     assert np.frombuffer(back.seqs[0], np.uint8).shape == (73,)
     for i in range(2):
         assert back.seqs[i] == pool.seqs[i]
@@ -127,8 +132,9 @@ def test_long_read_in_gap(tmp_path):
     fio.write_long_read_in_gap(prefix, pool)
     back = fio.read_read_in_gap(prefix)  # merges longReadInGap
     assert len(back) == 1
-    # long-pool entries keep their own placement verbatim
-    assert back.anchor_pos == [55]
+    # the record holds the read's own placement (55); read-back uses the
+    # window-preserving re-anchor so anchor + ins - len == 55 round-trips
+    assert back.anchor_pos[0] + back.insert_size[0] - 40 == 55
     assert back.seqs[0] == seq.tobytes()
 
 

@@ -106,3 +106,51 @@ def test_pairs_on_same_contig_reestimate_insert():
     )
     assert new_ins is not None
     assert abs(new_ins - 400) <= 3
+
+
+def test_vote_not_inflated_by_trailing_invalid():
+    """parse1read vote: trailing invalid slots must not inflate the last
+    contig run's count (r3 review: hits [5,5,7,-,-,-] let contig 7 win
+    with count 4)."""
+    import jax.numpy as jnp
+    from soapdenovo2_tpu.models import mapping as mp
+    from soapdenovo2_tpu.utils import simulate as sim
+
+    # two contigs; a read whose FIRST 40 bases lie on contig A and last
+    # ~10 on contig B (A should win the vote with far more k-mer hits)
+    A = sim.random_genome(300, seed=61).decode()
+    B = sim.random_genome(300, seed=62).decode()
+    k = 21
+    idx = mp.build_contig_index([A, B], k)
+    read = A[100:160] + B[50:80]  # 60 bases of A, 30 of B
+    import numpy as np
+    from soapdenovo2_tpu.io import reads as rio
+
+    codes = np.full((1, 100), 4, np.uint8)
+    n = rio.encode_read(read.encode(), codes[0])
+    lengths = np.array([n], np.int32)
+    ctg, pos, mapped, multi = mp._map_batch(
+        jnp.asarray(codes), jnp.asarray(lengths), k,
+        jnp.asarray(idx.keys), jnp.asarray(idx.cid), jnp.asarray(idx.pos),
+        jnp.asarray(idx.flip.astype(np.int8)), jnp.asarray(idx.ctg_len),
+        pdir=jnp.asarray(idx.pdir), pdir_steps=idx.pdir_steps,
+        pdir_shift=idx.pdir_shift,
+    )
+    assert bool(mapped[0])
+    assert int(ctg[0]) // 2 == 0, "contig A (most hits) must win"
+    # position: first A hit at read offset 0 -> contig pos 100
+    assert int(pos[0]) == 100
+
+
+def test_index_keeps_last_unique_kmer():
+    """_index_sort_dedup must not drop the lexicographically largest
+    unique k-mer when sentinel padding rows follow it (r3 review)."""
+    from soapdenovo2_tpu.models import mapping as mp
+    from soapdenovo2_tpu.utils import simulate as sim
+
+    k = 21
+    A = sim.random_genome(500, seed=63).decode()
+    idx = mp.build_contig_index([A], k)
+    # every k-mer of a random 500-mer is unique: index must hold ALL of
+    # them including the lexicographically largest
+    assert idx.keys.shape[0] == 500 - k + 1
