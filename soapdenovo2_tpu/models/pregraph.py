@@ -720,8 +720,11 @@ def run_pregraph(
     g = kg.mark_linear(g)
     freq = np.asarray(kg.kmer_freq_hist(g))
 
-    g, n_single = kg.remove_single_tips(g, k)
-    g, n_minor = kg.remove_minor_tips(g, k)
+    # one prefix directory serves every pass over this key table (tips,
+    # edges): keys never change, only flags
+    pdir_info = sc.build_prefix_dir_device(g.keys, k)
+    g, n_single = kg.remove_single_tips(g, k, pdir_info=pdir_info)
+    g, n_minor = kg.remove_minor_tips(g, k, pdir_info=pdir_info)
     if progress:
         # one combined readback — every device->host sync costs seconds
         # over the remote-device tunnel
