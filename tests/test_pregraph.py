@@ -183,3 +183,65 @@ def test_rows_triggered_flush_small_capacity():
     cs = np.asarray(small.covs)[:ns]
     cb = np.asarray(big.covs)[:nb]
     assert (cs == cb).all()
+
+
+def test_packed_transfer_interior_ns():
+    """2-bit packed uploads must preserve interior N bases (exception
+    list) and fall back to unpacked when a batch is N-heavy."""
+    # exception-list path
+    codes = np.zeros((4, 40), np.uint8)
+    codes[1, 7] = kops.BASE_N
+    codes[2, 0] = kops.BASE_N
+    codes[3, 39] = kops.BASE_N
+    lengths = np.full((4,), 40, np.int32)
+    pi = kops.pack_codes_host(codes, lengths)
+    assert pi is not None
+    packed, nr, nc = pi
+    out = np.asarray(kops.unpack_codes(
+        jnp.asarray(packed), jnp.asarray(lengths), 40,
+        jnp.asarray(nr), jnp.asarray(nc)))
+    assert (out == codes).all()
+
+    # padding beyond length restored as BASE_N
+    lengths2 = np.array([40, 30, 40, 40], np.int32)
+    pi2 = kops.pack_codes_host(codes, lengths2)
+    packed2, nr2, nc2 = pi2
+    out2 = np.asarray(kops.unpack_codes(
+        jnp.asarray(packed2), jnp.asarray(lengths2), 40,
+        jnp.asarray(nr2), jnp.asarray(nc2)))
+    assert (out2[1, 30:] == kops.BASE_N).all()
+    assert (out2[1, :7] == codes[1, :7]).all()
+
+    # N-heavy batch -> fallback marker
+    heavy = np.full((8, 200), kops.BASE_N, np.uint8)
+    assert kops.pack_codes_host(
+        heavy, np.full((8,), 200, np.int32)) is None
+
+    # end-to-end: a read stream with interior Ns counts identically to
+    # the unpacked semantics (N-containing k-mers skipped)
+    genome = sim.random_genome(5_000, seed=77)
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=80, insert_size=300,
+                                   coverage=15.0, seed=78)
+    reads = []
+    for i, r in enumerate(x for p in zip(r1, r2) for x in p):
+        b = bytearray(r)
+        if i % 5 == 0:
+            b[37] = ord("N")
+        reads.append(bytes(b))
+    table, _ = pg.count_reads_to_table(
+        rio.batch_reads(iter(reads), 256, 80), K, 80,
+        init_capacity=1 << 15)
+    # brute-force truth
+    import collections
+
+    truth = collections.Counter()
+    comp = bytes.maketrans(b"ACGTN", b"TGCAN")
+    for r in reads:
+        s = r.decode()
+        for i in range(len(s) - K + 1):
+            km = s[i : i + K]
+            if "N" in km:
+                continue
+            rc = km.encode().translate(comp)[::-1].decode()
+            truth[min(km, rc)] += 1
+    assert int(table.n) == len(truth)
