@@ -159,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="map reads onto the imported contigs")
     fus.add_argument("-S", dest="do_scaff", action="store_true",
                      help="scaffold the imported contigs")
+    fus.add_argument("-B", dest="do_bundle", action="store_true",
+                     help="PE bundling: write prefix.bundle overlap "
+                          "links (fusion/bundle.c call_bundle:323)")
+    fus.add_argument("-u", dest="bundle_u", type=int, default=3,
+                     help="bundle weight threshold (fusion -u)")
     fus.add_argument("-O", dest="do_potential", action="store_true",
                      help="potential-analysis: predicted scaffold N50 from "
                           "the *.links graph (fusion/potential.c)")
@@ -489,11 +494,15 @@ def cmd_fusion(args) -> None:
     if args.do_scaff:
         cmd_scaff(args)
         did = True
+    if getattr(args, "do_bundle", False):
+        fusion.call_bundle(args.prefix, args.bundle_u)
+        did = True
     if args.do_potential:
         fusion.potential(args.prefix)
         did = True
     if not did:
-        raise SystemExit("fusion: pass at least one of -D / -M / -O / -S")
+        raise SystemExit(
+            "fusion: pass at least one of -D / -M / -B / -O / -S")
 
 
 def cmd_all(args) -> None:

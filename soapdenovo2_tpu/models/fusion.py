@@ -11,9 +11,9 @@ stage file protocol, then reuse the map + scaff stages unchanged.
      fusion tree is a ~90% clone of standardPregraph's map+scaff layers —
      here they are literally the same modules).
 
-The PE bundling mode (fusion/bundle.c ``call_bundle:323``) is subsumed by
-the scaffolder's link accumulation, which aggregates pairs into weighted
-contig links directly (scaffold.build_links_for_grad).
+  -B PE bundling (fusion/bundle.c ``call_bundle:323``): overlap-bundle
+     report over the same link accumulation (``call_bundle`` below).
+  -O potential analysis (fusion/potential.c).
 """
 
 from __future__ import annotations
@@ -108,6 +108,51 @@ def potential(prefix: str, weight_cutoff: int = 3) -> List[int]:
     log.info("fusion -O: %d predicted scaffolds, N50 %d, sum %d",
              len(predict), n50, total)
     return predict
+
+
+def call_bundle(prefix: str, weight_threshold: int = 3) -> int:
+    """-B PE bundling (fusion/bundle.c ``call_bundle:323``): aggregate
+    the mapped PE pairs into contig-overlap bundles.
+
+    The reference accumulates CONNECTs per gradation and
+    ``outputBundle:418`` emits ``from to gapLen`` lines for connections
+    with weight > -u (default 3) and NEGATIVE gap — i.e. contig pairs the
+    PE evidence says overlap.  (Its output stream is opened on a stale
+    name buffer — the sprintf is commented out at bundle.c:333 — so the
+    on-disk name is undefined there; we write ``prefix.bundle`` and add a
+    weight column.)  Requires the map stage's readOnContig/peGrads.
+    """
+    import numpy as np
+
+    from ..io import files as fio
+    from . import scaffold as sf
+
+    try:
+        ref2dir = fio.read_contig_index(prefix).ref2dir
+    except FileNotFoundError:
+        ref2dir = None
+    rid, ctg, pos = fio.read_read_on_contig(prefix, ref2dir=ref2dir)
+    grads, _ = fio.read_pe_grads(prefix)
+    lengths = fio.read_contig_index(prefix).lengths
+    ctg_len = np.repeat(lengths, 2).astype(np.int64)
+    n = 0
+    with open(prefix + ".bundle", "w") as fh:
+        lo = 0
+        for g in grads:
+            links, _ = sf.build_links_for_grad(
+                rid, ctg, pos, ctg_len, g.insert_size, lo, g.end_read_id
+            )
+            lo = g.end_read_id
+            for i in range(links.c1.shape[0]):
+                w = int(links.weight[i])
+                gap = int(links.gap[i])
+                if w > weight_threshold and gap < 0:
+                    fh.write(f"{int(links.c1[i]) + 1}\t"
+                             f"{int(links.c2[i]) + 1}\t{gap}\t{w}\n")
+                    n += 1
+    log.info("fusion -B: %d overlap bundles (> weight %d)", n,
+             weight_threshold)
+    return n
 
 
 def data_prepare(contig_fasta: str, prefix: str, k: int) -> int:

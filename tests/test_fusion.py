@@ -66,3 +66,38 @@ def test_fusion_scaffolds_external_contigs(tmp_path):
     ref_scaf = open(prefix + ".scafSeq").read()
     cli.main(["scaff", "-g", prefix, "-F", "-z"])
     assert open(prefix + ".scafSeq").read() == ref_scaf
+
+
+def test_fusion_bundle_mode(tmp_path):
+    """-B bundling: overlapping external contigs produce negative-gap
+    bundle lines (fusion/bundle.c outputBundle:418 emits only gap<0)."""
+    d = str(tmp_path)
+    A = sim.random_genome(1200, seed=311)
+    B = sim.random_genome(1200, seed=312)
+    olap = 30  # < ins/10: attach1PE keeps gaps down to -ins/10
+    ctg1 = A.decode()
+    ctg2 = ctg1[-olap:] + B.decode()  # overlaps ctg1 by 30 bases
+    genome = (ctg1 + B.decode()).encode()
+    fio.write_fasta_generic(
+        os.path.join(d, "ext.fa"), [("c1", ctg1), ("c2", ctg2)]
+    )
+    r1, r2 = sim.simulate_pe_reads(genome, read_len=100, insert_size=400,
+                                   coverage=30.0, seed=313)
+    sim.write_fastq(os.path.join(d, "b_1.fastq"), r1)
+    sim.write_fastq(os.path.join(d, "b_2.fastq"), r2)
+    with open(os.path.join(d, "b.config"), "w") as fh:
+        fh.write(
+            "max_rd_len=100\n[LIB]\navg_ins=400\nreverse_seq=0\n"
+            f"asm_flags=3\nrank=1\npair_num_cutoff=3\n"
+            f"q1={d}/b_1.fastq\nq2={d}/b_2.fastq\n"
+        )
+    prefix = os.path.join(d, "bun")
+    cli.main(["fusion", "-D", "-c", os.path.join(d, "ext.fa"),
+              "-K", str(K), "-g", prefix])
+    cli.main(["fusion", "-M", "-s", os.path.join(d, "b.config"),
+              "-g", prefix])
+    cli.main(["fusion", "-B", "-g", prefix])
+    lines = [l.split("\t") for l in open(prefix + ".bundle")]
+    assert lines, "overlapping pair must produce a bundle line"
+    assert all(int(t[2]) < 0 for t in lines)  # negative gaps only
+    assert all(int(t[3]) > 3 for t in lines)  # above -u threshold
