@@ -251,7 +251,17 @@ class ShardedCountStream:
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS, None), P(AXIS), P()),
         )
-        return jax.jit(fn)
+        self._route_core = jax.jit(fn)
+
+        @functools.partial(jax.jit, static_argnames=("L",))
+        def routed_packed(packed, lengths, n_rows, n_cols, L):
+            # device-side unpack (2-bit packed upload, 4x less tunnel
+            # traffic); the elementwise unpack + tiny exception scatter
+            # propagate through the batch sharding before the shard_map
+            codes = kops.unpack_codes(packed, lengths, L, n_rows, n_cols)
+            return fn(codes, lengths)
+
+        return routed_packed
 
     @functools.lru_cache(maxsize=None)
     def _reduce_fn(self, rcap: int, fan_in: int):
@@ -345,9 +355,25 @@ class ShardedCountStream:
         """Feed one batch.  Single-process: the full (B, L) batch.
         Multi-process: this process's (B/n_proc, L) row slice — every
         process must call add_batch the same number of times."""
-        codes_d = self._put(codes, self._sh2, self.batch_b)
-        lengths_d = self._put(lengths, self._sh1, self.batch_b)
-        bw, bf, dropped = self._route(codes_d, lengths_d)
+        pi = None
+        if self.n_proc == 1:
+            # single-process: ship 2-bit packed (multi-process keeps the
+            # unpacked path — the N-exception rows are global indices and
+            # per-process slices would need offset bookkeeping)
+            pi = kops.pack_codes_host(np.asarray(codes),
+                                     np.asarray(lengths))
+        if pi is not None:
+            packed, nr, nc = pi
+            bw, bf, dropped = self._route(
+                jax.device_put(jnp.asarray(packed), self._sh2),
+                jax.device_put(jnp.asarray(lengths), self._sh1),
+                jnp.asarray(nr), jnp.asarray(nc),
+                L=codes.shape[1],
+            )
+        else:
+            codes_d = self._put(codes, self._sh2, self.batch_b)
+            lengths_d = self._put(lengths, self._sh1, self.batch_b)
+            bw, bf, dropped = self._route_core(codes_d, lengths_d)
         self._pending.append((bw, bf, dropped))
         self.n_reads += n
         if len(self._pending) >= self.FLUSH_N:
