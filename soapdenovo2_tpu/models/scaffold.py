@@ -98,10 +98,22 @@ def build_links_for_grad(
     len1 = ctg_len[c1]
     len2 = ctg_len[c2]
 
-    # same-contig pairs re-estimate the insert size (calcuIS)
+    # same-contig pairs re-estimate the insert size: calcuIS
+    # (attachPEinfo.c) = mean, then mean over observations within 3*SD
+    # of it (sample SD, C integer division semantics)
     same = c2 == twin_ctg(c1)
-    obs = (len1[same] - p2[same]) - p1[same]
-    new_ins = int(np.median(obs)) if obs.size >= 100 else None
+    obs = ((len1[same] - p2[same]) - p1[same]).astype(np.int64)
+    new_ins = None
+    if obs.size >= 100:
+        avg = int(obs.sum() // obs.size)
+        sd = int(np.sqrt(((obs - avg) ** 2).sum() // (obs.size - 1)))
+        if sd == 0:
+            new_ins = avg
+        else:
+            keep = np.abs(obs - avg) < 3 * sd
+            new_ins = (
+                int(obs[keep].sum() // keep.sum()) if keep.any() else None
+            )
 
     # cross-contig pairs -> links  c1 -> twin(c2)
     cross = ~same & (c1 != c2)

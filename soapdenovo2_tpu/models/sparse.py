@@ -127,6 +127,37 @@ def _sparse_batch(codes, lengths, k: int, gap: int):
     src_words = words[jnp.arange(B)[:, None], prev_safe]  # (B, P, W)
     src_orient = out["is_rc"][jnp.arange(B)[:, None], prev_safe]
 
+    # ---- read transits (build_preArc.cpp:1043 role): consecutive edge
+    # pairs along a read.  The transit at position p is centred on the
+    # MID node (the selected k-mer at q = prev[p]): in-edge (prev[q] ->
+    # q) then out-edge (q -> p).  The in-edge is keyed by its MIRROR
+    # bases (comp-reverse of the in-edge src's first el_in bases, i.e.
+    # comp(codes[prev[q] + t]) for t < el_in) because the appended bases
+    # of the in-edge are redundant with the mid k-mer itself and do not
+    # identify the src.  Everything else reuses the edge outputs: mid
+    # node = edge_src/edge_src_orient at p, out-edge = edge_len/b0/b1.
+    in_ok = jnp.take_along_axis(edge_ok, prev_safe, axis=1)
+    el_in = jnp.take_along_axis(dist, prev_safe, axis=1)
+    p2_safe = jnp.maximum(jnp.take_along_axis(prev, prev_safe, axis=1), 0)
+
+    def mbody(t, st):
+        mb0, mb1 = st
+        idx = jnp.minimum(p2_safe + t, codes.shape[1] - 1)
+        base = (
+            3 - (jnp.take_along_axis(codes, idx, axis=1).astype(jnp.uint32)
+                 & 3)
+        ) & 3
+        use = t < el_in
+        zero = jnp.uint32(0)
+        sh0 = jnp.clip(2 * t, 0, 31).astype(jnp.uint32)
+        sh1 = jnp.clip(2 * (t - 16), 0, 31).astype(jnp.uint32)
+        add0 = jnp.where(use & (t < 16), base << sh0, zero)
+        add1 = jnp.where(use & (t >= 16), base << sh1, zero)
+        return mb0 | add0, mb1 | add1
+
+    mb0, mb1 = jax.lax.fori_loop(0, gap, mbody, (zeros, zeros))
+    trans_ok = edge_ok & in_ok
+
     flat = lambda x: x.reshape((B * P,) + x.shape[2:])
     return {
         "node_words": flat(words),
@@ -138,6 +169,10 @@ def _sparse_batch(codes, lengths, k: int, gap: int):
         "edge_b0": b0.reshape(B * P),
         "edge_b1": b1.reshape(B * P),
         "edge_valid": edge_ok.reshape(B * P),
+        "trans_valid": trans_ok.reshape(B * P),
+        "trans_el_in": jnp.where(trans_ok, el_in, 0).reshape(B * P).astype(jnp.uint8),
+        "trans_mb0": mb0.reshape(B * P),
+        "trans_mb1": mb1.reshape(B * P),
     }
 
 
@@ -151,6 +186,11 @@ class SparseGraph:
     node_cov: np.ndarray  # (N,) occurrence counts (capped 255)
     # directed edges in traversal orientation, canonical-src keyed
     edges: Dict[Tuple, int]  # (src_idx, src_o, len, b0, b1) -> cov
+    # per-pair read transits at each junction node (build_preArc.cpp:1043
+    # role): key = (mid_idx, mid_o, el_in, mb0, mb1, el_out, ob0, ob1)
+    # where (mb0, mb1) pack the in-edge's MIRROR bases and (ob0, ob1) the
+    # out-edge's appended bases -> number of reads crossing mid that way
+    transits: Dict[Tuple, int] = dataclasses.field(default_factory=dict)
 
 
 def build_sparse_graph(
@@ -162,6 +202,7 @@ def build_sparse_graph(
     gap = min(gap, MAX_GAP)
     node_keys: List[np.ndarray] = []
     edge_rows: List[np.ndarray] = []
+    trans_rows: List[np.ndarray] = []
     w = kops.num_words(k)
     for batch in batches:
         outb = _sparse_batch(
@@ -180,6 +221,19 @@ def build_sparse_graph(
             edge_rows.append(
                 np.column_stack([src, (so | (el << 8)), b0, b1])
             )
+        tv = np.asarray(outb["trans_valid"])
+        if tv.any():
+            mid = np.asarray(outb["edge_src"])[tv]  # mid node = in-edge dst
+            mo = np.asarray(outb["edge_src_orient"])[tv].astype(np.uint32)
+            eli = np.asarray(outb["trans_el_in"])[tv].astype(np.uint32)
+            elo = np.asarray(outb["edge_len"])[tv].astype(np.uint32)
+            trans_rows.append(np.column_stack([
+                mid, (mo | (eli << 8) | (elo << 16)),
+                np.asarray(outb["trans_mb0"])[tv],
+                np.asarray(outb["trans_mb1"])[tv],
+                np.asarray(outb["edge_b0"])[tv],
+                np.asarray(outb["edge_b1"])[tv],
+            ]))
     # vectorized edge dedup/count (sort + run-length, no python dict loop)
     edge_accum: Dict[Tuple, int] = {}
     if edge_rows:
@@ -224,9 +278,32 @@ def build_sparse_graph(
         if si is None:
             continue
         edges[(si, so, el, b0, b1)] = c
+    # transit dedup/count (same sort + run-length scheme as edges)
+    transits: Dict[Tuple, int] = {}
+    if trans_rows:
+        rows = np.concatenate(trans_rows)
+        order = np.lexsort(
+            tuple(rows[:, i] for i in range(rows.shape[1] - 1, -1, -1))
+        )
+        rows = rows[order]
+        new = np.ones((rows.shape[0],), bool)
+        new[1:] = (rows[1:] != rows[:-1]).any(axis=1)
+        counts = np.bincount(np.cumsum(new) - 1)
+        urows = rows[new]
+        for i in range(urows.shape[0]):
+            mi = idx_of.get(urows[i, :w].tobytes())
+            if mi is None:
+                continue
+            packed = int(urows[i, w])
+            transits[
+                (mi, packed & 0xFF, (packed >> 8) & 0xFF, int(urows[i, w + 1]),
+                 int(urows[i, w + 2]), (packed >> 16) & 0xFF,
+                 int(urows[i, w + 3]), int(urows[i, w + 4]))
+            ] = int(counts[i])
     return SparseGraph(
         k=k, gap=gap, node_words=uniq,
         node_cov=np.minimum(cov, 255).astype(np.int32), edges=edges,
+        transits=transits,
     )
 
 
@@ -241,6 +318,20 @@ def _unpack_edge_bases(el: int, b0: int, b1: int) -> List[int]:
     return out
 
 
+def _pack_bases(bases) -> Tuple[int, int, int]:
+    """Inverse of _unpack_edge_bases: (el, b0, b1), first base most
+    significant — the device packing convention of _sparse_batch."""
+    el = len(bases)
+    b0 = b1 = 0
+    for i, b in enumerate(bases):
+        p = el - 1 - i
+        if p < 16:
+            b0 |= (int(b) & 3) << (2 * p)
+        else:
+            b1 |= (int(b) & 3) << (2 * (p - 16))
+    return el, b0, b1
+
+
 def prune_sparse(g: SparseGraph, node_cov_cutoff: int = 1,
                  edge_cov_cutoff: int = 1) -> SparseGraph:
     """RemovingWeakNodesAndEdges2 (build_edge.cpp:52): drop low-coverage
@@ -252,9 +343,11 @@ def prune_sparse(g: SparseGraph, node_cov_cutoff: int = 1,
         if c > edge_cov_cutoff and keep_node[key[0]]
     }
     # nodes keep their indices; deleted nodes simply lose their edges
+    # (transits at a deleted mid node just miss at lookup time)
     g2 = SparseGraph(
         k=g.k, gap=g.gap, node_words=g.node_words,
         node_cov=np.where(keep_node, g.node_cov, 0), edges=edges,
+        transits=g.transits,
     )
     return g2
 
@@ -277,6 +370,11 @@ def save_sparse_graph(g: SparseGraph, prefix: str) -> None:
         rows = np.zeros((0, 6), np.int64)
     with open(prefix + ".ht_content", "wb") as fh:
         np.save(fh, rows)
+        trows = (
+            np.array([key + (c,) for key, c in g.transits.items()], np.int64)
+            if g.transits else np.zeros((0, 9), np.int64)
+        )
+        np.save(fh, trows)
 
 
 def load_sparse_graph(prefix: str) -> SparseGraph:
@@ -290,12 +388,17 @@ def load_sparse_graph(prefix: str) -> SparseGraph:
         node_cov = z["node_cov"]
     with open(prefix + ".ht_content", "rb") as fh:
         rows = np.load(fh)
+        try:
+            trows = np.load(fh)
+        except Exception:  # pre-transit checkpoints (older format)
+            trows = np.zeros((0, 9), np.int64)
     edges = {
         (int(s), int(o), int(l), int(b0), int(b1)): int(c)
         for s, o, l, b0, b1, c in rows
     }
+    transits = {tuple(int(v) for v in r[:8]): int(r[8]) for r in trows}
     return SparseGraph(k=k, gap=gap, node_words=node_words,
-                       node_cov=node_cov, edges=edges)
+                       node_cov=node_cov, edges=edges, transits=transits)
 
 
 def run_sparse_pregraph(
@@ -391,6 +494,7 @@ class SparseChain:
     end: Tuple[int, int]
     nodes: List[int]  # node indices visited, in order
     first_cov: int  # coverage of the chain's first kmer-edge (0 = none)
+    first_bases: Tuple[int, ...] = ()  # appended bases of the first kmer-edge
 
 
 def _state_kmer(g: SparseGraph, i: int, o: int) -> np.ndarray:
@@ -493,7 +597,7 @@ def sparse_chains(g: SparseGraph,
             steps += 1
         out.append(SparseChain(
             seq=seq, cov=float(np.mean(covs)), start=start, end=cur,
-            nodes=nodes, first_cov=int(fcov),
+            nodes=nodes, first_cov=int(fcov), first_bases=tuple(first[0]),
         ))
 
     for i in range(g.node_words.shape[0]):
@@ -600,6 +704,7 @@ def _join_error_splits(g: SparseGraph, chains: List[SparseChain],
             seq=seq, cov=covw / max(len(seq), 1),
             start=chains[run[0]].start, end=chains[run[-1]].end,
             nodes=nodes, first_cov=chains[run[0]].first_cov,
+            first_bases=chains[run[0]].first_bases,
         ))
     # cycle leftovers (every member has a pred): emit unmerged
     for i in range(len(chains)):
@@ -666,9 +771,12 @@ def write_sparse_pregraph_files(
     runs on sparse output unchanged.  Chains share junction k-mers, the
     same k-base overlap convention as dense edges.
 
-    preArc multiplicity is the successor chain's first kmer-edge coverage
-    (per-pair read transit counts are not recorded by the sparse
-    representation — documented deviation).
+    preArc multiplicity is the per-pair read TRANSIT count
+    (build_preArc.cpp:1043): the number of reads observed crossing the
+    junction node from chain i's last kmer-edge into chain j's first
+    kmer-edge, both strands summed.  Pairs with zero recorded transits
+    (or pre-transit checkpoints) fall back to the successor chain's
+    first kmer-edge coverage so graph connectivity is preserved.
 
     Returns the number of undirected edge records."""
     from ..io import files as fio
@@ -741,9 +849,26 @@ def write_sparse_pregraph_files(
     for i, ch in enumerate(chains):
         if not ch.first_cov:
             continue
+        # in-edge (last edge of chain i) keyed by its mirror bases ==
+        # the twin chain's first edge bases
+        el_in, mb0, mb1 = _pack_bases(chains[twin[i]].first_bases)
         for j in starts.get(ch.end, ()):
             rows.append((dir_to_file[i], dir_to_file[j]))
-            mult.append(chains[j].first_cov)
+            # per-pair read transit count (build_preArc.cpp:1043): reads
+            # crossing the junction via (last edge of i, first edge of j),
+            # summed over both strands (the opposite-strand observation is
+            # the mirrored pair tw(j) -> tw(i) at the flipped junction).
+            el_out, ob0, ob1 = _pack_bases(chains[j].first_bases)
+            t = (
+                g.transits.get((ch.end[0], ch.end[1], el_in, mb0, mb1,
+                                el_out, ob0, ob1), 0)
+                + g.transits.get((ch.end[0], 1 - ch.end[1], el_out, ob0,
+                                  ob1, el_in, mb0, mb1), 0)
+            )
+            # zero transits (no single read spans both kmer-edges, e.g.
+            # coverage split across strands at low depth): keep the pair
+            # for connectivity with the successor-cov approximation
+            mult.append(t if t > 0 else chains[j].first_cov)
     order = sorted(range(len(rows)), key=lambda x: rows[x])
     fio.write_pre_arcs(
         prefix,

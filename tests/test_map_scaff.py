@@ -154,3 +154,31 @@ def test_index_keeps_last_unique_kmer():
     # every k-mer of a random 500-mer is unique: index must hold ALL of
     # them including the lexicographically largest
     assert idx.keys.shape[0] == 500 - k + 1
+
+
+def test_calcuIS_three_sd_trimmed_mean():
+    """Insert re-estimation is calcuIS (attachPEinfo.c): mean, sample SD,
+    then the mean of observations within 3*SD — outliers beyond 3 SD must
+    not shift the estimate the way a plain mean would."""
+    rng = np.random.default_rng(93)
+    n = 300
+    obs = rng.integers(395, 406, size=n)  # tight around 400
+    obs[:6] = 5000  # far outliers (chimeric pairs)
+    # same-contig pair layout: rid (2i, 2i+1), both on contig 0,
+    # p1 + obs = len - p2  =>  obs = (len - p2) - p1
+    clen = 20000
+    p1 = rng.integers(0, 10000, size=n)
+    p2 = clen - (p1 + obs)
+    rid = np.arange(2 * n, dtype=np.int64)
+    ctg = np.zeros(2 * n, np.int64)
+    ctg[1::2] = 1  # mate maps to the twin direction of contig 0
+    pos = np.empty(2 * n, np.int64)
+    pos[0::2] = p1
+    pos[1::2] = p2
+    ctg_len = np.array([clen, clen], np.int64)
+    _, new_ins = sf.build_links_for_grad(
+        rid, ctg, pos, ctg_len, 400, 0, 2 * n
+    )
+    plain_mean = obs.sum() // n  # ~492 — what an untrimmed mean gives
+    assert plain_mean > 450
+    assert new_ins is not None and abs(new_ins - 400) <= 3, new_ins

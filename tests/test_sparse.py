@@ -155,3 +155,85 @@ def test_sparse_tip_clipping():
     for s in after:
         if len(s) >= 50:
             assert s in gstr or revcomp_str(s) in gstr, (len(s), len(before))
+
+
+def test_sparse_prearc_transit_mults(tmp_path):
+    """preArc multiplicities are per-pair read TRANSIT counts
+    (build_preArc.cpp:1043), not the successor-cov approximation.
+
+    Two chromosomes share an exact repeat X, so the junction entering X
+    has two incoming chains; each (in, out) pair's multiplicity must lie
+    between the margined and unmargined counts of reads that actually
+    contain the junction-crossing substring."""
+    gap = 10
+    rl = 100
+    rep = sim.random_genome(220, seed=410)
+    g1 = sim.random_genome(700, seed=411) + rep + sim.random_genome(700, seed=412)
+    g2 = sim.random_genome(700, seed=413) + rep + sim.random_genome(700, seed=414)
+    reads = []
+    for gen, seed in ((g1, 415), (g2, 416)):
+        r1, r2 = sim.simulate_pe_reads(gen, read_len=rl, insert_size=300,
+                                       coverage=40.0, seed=seed)
+        reads += [x for pair in zip(r1, r2) for x in pair]
+    g = sparse.build_sparse_graph(
+        rio.batch_reads(iter(reads), 512, rl), K, gap=gap
+    )
+    assert g.transits, "no read transits recorded"
+    g = sparse.prune_sparse(g, 1, 1)
+    chains = sparse.sparse_chains(g, join_splits=True)
+
+    comp = bytes.maketrans(b"ACGTN", b"TGCAN")
+
+    def rc(s):
+        return s.encode().translate(comp)[::-1].decode()
+
+    # twin map (same scheme as write_sparse_pregraph_files)
+    def flip(st):
+        return (st[0], 1 - st[1])
+
+    key_of = {(ch.seq, ch.start, ch.end): i for i, ch in enumerate(chains)}
+    twin = list(range(len(chains)))
+    for i, ch in enumerate(chains):
+        j = key_of.get((rc(ch.seq), flip(ch.end), flip(ch.start)))
+        if j is not None:
+            twin[i] = j
+
+    ends = {}
+    starts = {}
+    for i, ch in enumerate(chains):
+        if ch.first_cov:
+            ends.setdefault(ch.end, []).append(i)
+            starts.setdefault(ch.start, []).append(i)
+    # a junction with >= 2 incoming and >= 1 outgoing chain (repeat entry)
+    multi = [(S, ins) for S, ins in ends.items()
+             if len(ins) >= 2 and starts.get(S)]
+    assert multi, "no multi-in junction found"
+    checked = 0
+    for S, ins in multi:
+        for i in ins:
+            el_in, mb0, mb1 = sparse._pack_bases(chains[twin[i]].first_bases)
+            for j in starts[S]:
+                el_out, ob0, ob1 = sparse._pack_bases(chains[j].first_bases)
+                t = (
+                    g.transits.get((S[0], S[1], el_in, mb0, mb1,
+                                    el_out, ob0, ob1), 0)
+                    + g.transits.get((S[0], 1 - S[1], el_out, ob0, ob1,
+                                      el_in, mb0, mb1), 0)
+                )
+                # ground truth: reads containing the crossing substring
+                s_star = chains[i].seq[-(K + el_in):] + \
+                    chains[j].seq[K:K + el_out]
+                lo = hi = 0
+                for r in reads:
+                    s = r.decode()
+                    for probe in (s_star, rc(s_star)):
+                        off = s.find(probe)
+                        while off >= 0:
+                            hi += 1
+                            if (off >= gap - 1 and
+                                    off + len(probe) + gap - 1 <= rl):
+                                lo += 1
+                            off = s.find(probe, off + 1)
+                assert lo <= t <= hi, (S, i, j, lo, t, hi)
+                checked += 1
+    assert checked >= 4  # 2-in x >=1-out on both repeat flanks (or twins)
