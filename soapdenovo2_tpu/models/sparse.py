@@ -201,9 +201,41 @@ def build_sparse_graph(
     kops.validate_k(k)
     gap = min(gap, MAX_GAP)
     node_keys: List[np.ndarray] = []
+    node_cnts: List[np.ndarray] = []
     edge_rows: List[np.ndarray] = []
+    edge_cnts: List[np.ndarray] = []
     trans_rows: List[np.ndarray] = []
+    trans_cnts: List[np.ndarray] = []
     w = kops.num_words(k)
+
+    def _rl(rows: np.ndarray, counts: np.ndarray):
+        """lexsort + run-length SUM of counts (duplicate rows collapse)."""
+        order = np.lexsort(
+            tuple(rows[:, i] for i in range(rows.shape[1] - 1, -1, -1))
+        )
+        rows = rows[order]
+        counts = counts[order]
+        new = np.ones((rows.shape[0],), bool)
+        new[1:] = (rows[1:] != rows[:-1]).any(axis=1)
+        grp = np.cumsum(new) - 1
+        sums = np.bincount(grp, weights=counts.astype(np.float64))
+        return rows[new], sums.astype(np.int64)
+
+    def _compact_pending():
+        """Collapse accumulated rows in place.  Run every COMPACT_ROWS
+        raw rows so host memory stays ~one compacted set + one window of
+        new rows, instead of every raw observation until end-of-stream
+        (the sparse module exists to REDUCE memory)."""
+        for rows_l, cnt_l in ((node_keys, node_cnts),
+                              (edge_rows, edge_cnts),
+                              (trans_rows, trans_cnts)):
+            if rows_l:  # len 1 included: a lone raw batch still dedups
+                ur, uc = _rl(np.concatenate(rows_l), np.concatenate(cnt_l))
+                rows_l[:] = [ur]
+                cnt_l[:] = [uc]
+
+    COMPACT_ROWS = 4 << 20
+    pending_rows = 0
     for batch in batches:
         outb = _sparse_batch(
             jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k, gap
@@ -211,6 +243,8 @@ def build_sparse_graph(
         nv = np.asarray(outb["node_valid"])
         nw = np.asarray(outb["node_words"])[nv]
         node_keys.append(nw)
+        node_cnts.append(np.ones((nw.shape[0],), np.int64))
+        pending_rows += nw.shape[0]
         ev = np.asarray(outb["edge_valid"])
         if ev.any():
             src = np.asarray(outb["edge_src"])[ev]
@@ -221,6 +255,8 @@ def build_sparse_graph(
             edge_rows.append(
                 np.column_stack([src, (so | (el << 8)), b0, b1])
             )
+            edge_cnts.append(np.ones((src.shape[0],), np.int64))
+            pending_rows += src.shape[0]
         tv = np.asarray(outb["trans_valid"])
         if tv.any():
             mid = np.asarray(outb["edge_src"])[tv]  # mid node = in-edge dst
@@ -234,18 +270,17 @@ def build_sparse_graph(
                 np.asarray(outb["edge_b0"])[tv],
                 np.asarray(outb["edge_b1"])[tv],
             ]))
+            trans_cnts.append(np.ones((mid.shape[0],), np.int64))
+            pending_rows += mid.shape[0]
+        if pending_rows >= COMPACT_ROWS:
+            _compact_pending()
+            pending_rows = sum(r.shape[0] for r in
+                               node_keys + edge_rows + trans_rows)
+    _compact_pending()
     # vectorized edge dedup/count (sort + run-length, no python dict loop)
     edge_accum: Dict[Tuple, int] = {}
     if edge_rows:
-        rows = np.concatenate(edge_rows)
-        order = np.lexsort(
-            tuple(rows[:, i] for i in range(rows.shape[1] - 1, -1, -1))
-        )
-        rows = rows[order]
-        new = np.ones((rows.shape[0],), bool)
-        new[1:] = (rows[1:] != rows[:-1]).any(axis=1)
-        counts = np.bincount(np.cumsum(new) - 1)
-        urows = rows[new]
+        urows, counts = edge_rows[0], edge_cnts[0]
         for i in range(urows.shape[0]):
             so_el = int(urows[i, w])
             edge_accum[
@@ -253,21 +288,9 @@ def build_sparse_graph(
                  int(urows[i, w + 1]), int(urows[i, w + 2]))
             ] = int(counts[i])
     if node_keys:
-        allk = np.concatenate(node_keys)
+        uniq, cov = node_keys[0], node_cnts[0]
     else:
-        allk = np.zeros((0, w), np.uint32)
-    if allk.shape[0]:
-        order = np.lexsort(
-            tuple(allk[:, i] for i in range(allk.shape[1] - 1, -1, -1))
-        )
-        allk = allk[order]
-        new = np.ones((allk.shape[0],), bool)
-        new[1:] = (allk[1:] != allk[:-1]).any(axis=1)
-        uniq = allk[new]
-        grp = np.cumsum(new) - 1
-        cov = np.bincount(grp)
-    else:
-        uniq = allk
+        uniq = np.zeros((0, w), np.uint32)
         cov = np.zeros((0,), np.int64)
 
     # map edge src bytes -> node index
@@ -281,15 +304,7 @@ def build_sparse_graph(
     # transit dedup/count (same sort + run-length scheme as edges)
     transits: Dict[Tuple, int] = {}
     if trans_rows:
-        rows = np.concatenate(trans_rows)
-        order = np.lexsort(
-            tuple(rows[:, i] for i in range(rows.shape[1] - 1, -1, -1))
-        )
-        rows = rows[order]
-        new = np.ones((rows.shape[0],), bool)
-        new[1:] = (rows[1:] != rows[:-1]).any(axis=1)
-        counts = np.bincount(np.cumsum(new) - 1)
-        urows = rows[new]
+        urows, counts = trans_rows[0], trans_cnts[0]
         for i in range(urows.shape[0]):
             mi = idx_of.get(urows[i, :w].tobytes())
             if mi is None:
@@ -388,10 +403,13 @@ def load_sparse_graph(prefix: str) -> SparseGraph:
         node_cov = z["node_cov"]
     with open(prefix + ".ht_content", "rb") as fh:
         rows = np.load(fh)
-        try:
-            trows = np.load(fh)
-        except Exception:  # pre-transit checkpoints (older format)
+        # pre-transit checkpoints (older format) simply END after the
+        # first array: detect clean EOF instead of swallowing arbitrary
+        # errors (a truncated/corrupt second array must fail loudly)
+        if fh.peek(1)[:1] == b"":
             trows = np.zeros((0, 9), np.int64)
+        else:
+            trows = np.load(fh)
     edges = {
         (int(s), int(o), int(l), int(b0), int(b1)): int(c)
         for s, o, l, b0, b1, c in rows
@@ -855,20 +873,24 @@ def write_sparse_pregraph_files(
         for j in starts.get(ch.end, ()):
             rows.append((dir_to_file[i], dir_to_file[j]))
             # per-pair read transit count (build_preArc.cpp:1043): reads
-            # crossing the junction via (last edge of i, first edge of j),
-            # summed over both strands (the opposite-strand observation is
-            # the mirrored pair tw(j) -> tw(i) at the flipped junction).
+            # crossing the junction via (last edge of i, first edge of j).
+            # Each directed row carries ONLY its own strand's count —
+            # the reverse-strand observation lives on the mirrored pair
+            # tw(j) -> tw(i) at the flipped junction, and load-time
+            # symmetrization (add1Arc, loadPreGraph.c:579; repo
+            # checkpoint.py load_contig_graph) adds the twin row's
+            # weight, reproducing the reference per-arc multiplicity.
             el_out, ob0, ob1 = _pack_bases(chains[j].first_bases)
-            t = (
-                g.transits.get((ch.end[0], ch.end[1], el_in, mb0, mb1,
-                                el_out, ob0, ob1), 0)
-                + g.transits.get((ch.end[0], 1 - ch.end[1], el_out, ob0,
-                                  ob1, el_in, mb0, mb1), 0)
-            )
-            # zero transits (no single read spans both kmer-edges, e.g.
-            # coverage split across strands at low depth): keep the pair
-            # for connectivity with the successor-cov approximation
-            mult.append(t if t > 0 else chains[j].first_cov)
+            t_fwd = g.transits.get((ch.end[0], ch.end[1], el_in, mb0, mb1,
+                                    el_out, ob0, ob1), 0)
+            t_rev = g.transits.get((ch.end[0], 1 - ch.end[1], el_out, ob0,
+                                    ob1, el_in, mb0, mb1), 0)
+            # zero transits on BOTH strands (no single read spans both
+            # kmer-edges, e.g. coverage split across strands at low
+            # depth): keep the pair for connectivity with the
+            # successor-cov approximation, consistently in both rows
+            mult.append(t_fwd if (t_fwd + t_rev) > 0
+                        else chains[j].first_cov)
     order = sorted(range(len(rows)), key=lambda x: rows[x])
     fio.write_pre_arcs(
         prefix,
