@@ -97,7 +97,14 @@ def write_pregraph(prefix: str, pre: pg.PregraphResult,
     )
     order = np.lexsort((fkeys[:, 1], fkeys[:, 0]))
     fio.write_pre_arcs(prefix, fkeys[order], amult[order])
-    fio.write_mark_on_edge(prefix, pre.marker_on_edge)
+    # markOnEdge rows are keyed by FILE id (the reference's output_arcs
+    # writes i = 1..num_ed in file order and loadPathBin reads them back
+    # positionally) — remap from internal directed-edge order
+    E = eg.n_edges
+    marker_file = np.zeros((n_dir_ids,), np.int32)
+    if E:
+        marker_file[dir_to_file[np.arange(E)] - 1] = pre.marker_on_edge
+    fio.write_mark_on_edge(prefix, marker_file)
     if pre.paths is not None:
         write_paths(prefix, pre.paths, dir_to_file)
     if grads is not None:
@@ -106,25 +113,40 @@ def write_pregraph(prefix: str, pre: pg.PregraphResult,
 
 
 def write_paths(prefix: str, paths, dir_to_file: np.ndarray) -> None:
-    """*.path — read paths (>=3 edges) in 1-based file edge ids
-    (prlRead2path.c recordPathBin:482, as text)."""
-    with open(prefix + ".path", "w") as fh:
+    """*.path — read paths (>=3 edges) in the reference BINARY format
+    (recordPathBin, prlRead2path.c:478-543): one record per qualifying
+    read, a u8 edge count followed by that many little-endian u32
+    1-based edge file ids — so a reference ``contig -R`` can consume our
+    pregraph output directly."""
+    with open(prefix + ".path", "wb") as fh:
         for p in paths:
-            fh.write(" ".join(str(int(dir_to_file[e])) for e in p) + "\n")
+            ids = dir_to_file[np.asarray(p, np.int64)]
+            c = min(len(ids), 255)  # count field is one byte
+            fh.write(bytes((c,)))
+            fh.write(ids[:c].astype("<u4").tobytes())
 
 
 def load_paths(prefix: str):
-    """Load *.path into 0-based directed edge ids of load_contig_graph's
-    numbering (file id - 1)."""
-    paths = []
+    """Load binary *.path into 0-based directed edge ids of
+    load_contig_graph's numbering (file id - 1); mirrors loadPathBin's
+    record loop (loadPath.c:303-318)."""
     try:
-        with open(prefix + ".path") as fh:
-            for line in fh:
-                t = line.split()
-                if len(t) >= 3:
-                    paths.append(np.array([int(x) - 1 for x in t], np.int64))
+        with open(prefix + ".path", "rb") as fh:
+            data = fh.read()
     except FileNotFoundError:
         return None
+    paths = []
+    off = 0
+    n = len(data)
+    while off < n:
+        c = data[off]
+        off += 1
+        if off + 4 * c > n:
+            break  # truncated trailing record
+        ids = np.frombuffer(data, "<u4", count=c, offset=off)
+        off += 4 * c
+        if c >= 3:
+            paths.append(ids.astype(np.int64) - 1)
     return paths
 
 

@@ -79,6 +79,43 @@ def mark_linear(g: PreGraph) -> PreGraph:
     return g._replace(linear=lin)
 
 
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def _compact_to(g: PreGraph, new_cap: int) -> PreGraph:
+    """Squeeze deleted rows out, keeping sorted key order (stable sort by
+    the deleted flag); tail becomes sentinel rows."""
+    c = g.keys.shape[0]
+    flag = g.deleted.astype(jnp.int32)
+    iota = jnp.arange(c, dtype=jnp.int32)
+    _, perm = jax.lax.sort((flag, iota), num_keys=1, is_stable=True)
+    perm = perm[:new_cap]
+    dele = g.deleted[perm]
+    keys = jnp.where(dele[:, None], jnp.uint32(0xFFFFFFFF), g.keys[perm])
+    covs = jnp.where(dele[:, None], jnp.uint16(0), g.covs[perm])
+    lin = jnp.where(dele, False, g.linear[perm])
+    return PreGraph(
+        keys=keys, covs=covs,
+        n=jnp.sum((~dele).astype(jnp.int32)), deleted=dele, linear=lin,
+    )
+
+
+def compact_graph(g: PreGraph) -> PreGraph:
+    """Shrink the table to the live entries (one scalar readback).
+
+    After -d pruning drops the error-kmer singletons (~2/3 of the table
+    on real error rates), every downstream pass — tip walks, chain
+    labels, arc/map lookups, checkpoint downloads — would otherwise keep
+    paying the dead rows' share of gathers and transfers.  The reference
+    never compacts (its hash set just keeps deleted flags,
+    newhash.h:90-103) because its passes iterate buckets; our passes are
+    dense vector sweeps, so capacity IS cost."""
+    c = g.keys.shape[0]
+    n_live = int(jnp.sum((~g.deleted).astype(jnp.int32)))
+    new_cap = max(1024, 1 << max(n_live, 1).bit_length())
+    if new_cap >= c:
+        return g
+    return _compact_to(g, new_cap)
+
+
 def kmer_freq_hist(g: PreGraph) -> jax.Array:
     """255-bin total-coverage histogram (*.kmerFreq; prlHashReads.c:1104)."""
     tot = jnp.clip(g.covs[:, 8].astype(jnp.int32), 0, 255)

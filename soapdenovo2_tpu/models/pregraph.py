@@ -381,17 +381,39 @@ def read_paths_batch(
         (idx >= 0) & out["valid"], state_edge[state], -1
     )
     if patch_keys.shape[0] > 0:
-        out1 = kops.extract_kmers(codes, lengths, k + 1)
-        pidx = sc.lookup_kmers(patch_keys, out1["words"])  # (B, P1)
-        p_or = out1["is_rc"]
+        # (k+1)-mer patch lookup WITHOUT a second full extraction
+        # (prlRead2path.c does one chop pass and search1kmerPlus:550 on
+        # top of it): the (k+1)-mer at position p is the forward k-mer
+        # plus the next base, both already produced by the k extraction.
+        from . import edges as _edges
+
+        canon_k = out["words"]
+        is_rc = out["is_rc"]
+        fwd_k = jnp.where(
+            is_rc[..., None], kops.reverse_complement(canon_k, k), canon_k
+        )
+        # forward-frame next base (undo the orientation swap of "right")
+        def _comp_or_n(x):
+            return jnp.where(x < kops.BASE_N, (3 - x) & 3, kops.BASE_N)
+
+        right_f = jnp.where(
+            is_rc, _comp_or_n(out["left"].astype(jnp.int32)),
+            out["right"].astype(jnp.int32),
+        )
+        ok1 = out["valid"] & (right_f < 4)
+        wide = _edges._widen_kmer(fwd_k, k)
+        plus = kops.shift_left_append(
+            wide, jnp.maximum(right_f, 0).astype(jnp.uint32), k + 1
+        )
+        rcp = kops.reverse_complement(plus, k + 1)
+        canon1, rc1 = kops.canonical(plus, rcp)
+        pidx = sc.lookup_kmers(patch_keys, canon1)  # (B, P)
         p_hit = jnp.where(
-            (pidx >= 0) & out1["valid"],
-            jnp.where(p_or, patch_twin[jnp.maximum(pidx, 0)], patch_edge[jnp.maximum(pidx, 0)]),
+            (pidx >= 0) & ok1,
+            jnp.where(rc1, patch_twin[jnp.maximum(pidx, 0)],
+                      patch_edge[jnp.maximum(pidx, 0)]),
             -1,
         )
-        # pad to P positions (P1 = P - 1)
-        pad = jnp.full((p_hit.shape[0], hit.shape[1] - p_hit.shape[1]), -1, jnp.int32)
-        p_hit = jnp.concatenate([p_hit, pad], axis=1)
         hit = jnp.where(hit >= 0, hit, p_hit)
     return hit
 
@@ -717,6 +739,9 @@ def run_pregraph(
     g = kg.from_table(table)
     if d_cutoff > 0:
         g = kg.de_low_cov(g, jnp.int32(d_cutoff))
+        # error-kmer singletons are typically 2/3 of the table: squeeze
+        # them out so every later pass runs at live size, not capacity
+        g = kg.compact_graph(g)
     g = kg.mark_linear(g)
     freq = np.asarray(kg.kmer_freq_hist(g))
 
