@@ -66,11 +66,16 @@ def write_pregraph(prefix: str, pre: pg.PregraphResult,
     k = pre.k
     # kmerFreq
     fio.write_kmer_freq(prefix, pre.kmer_freq)
-    # vertex file: branch (non-linear, non-deleted) kmers
-    lin = np.asarray(pre.graph.linear)
-    dele = np.asarray(pre.graph.deleted)
-    branch = ~lin & ~dele
-    keys = np.asarray(pre.graph.keys)[branch]
+    # vertex file: branch (non-linear, non-deleted) kmers.  The sharded
+    # path downloads only these E-scale keys (branch_keys); the
+    # single-device path derives them from the resident graph.
+    if pre.branch_keys is not None:
+        keys = pre.branch_keys
+    else:
+        lin = np.asarray(pre.graph.linear)
+        dele = np.asarray(pre.graph.deleted)
+        branch = ~lin & ~dele
+        keys = np.asarray(pre.graph.keys)[branch]
     n_vertex = fio.write_vertex(prefix, keys, k)
     # edges
     reps, dir_to_file = edge_file_order(eg)

@@ -450,33 +450,9 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     # ------------------------------------------------------------------
     # (k+1)-mer patch for length-1 edges
     # ------------------------------------------------------------------
-    short = np.nonzero((edge_len == 1) & ~edge_cycle)[0].astype(np.int32)
-    w1 = kops.num_words(k + 1) if k + 1 <= 128 else None
-    if short.size:
-        base1 = jnp.asarray(seq_bases[seq_off[short]].astype(np.uint32))
-        fk1 = jnp.asarray(first_kmer[short])
-        # (k+1)-mer = first k-mer + the single appended base; widen register
-        wide = _widen_kmer(fk1, k)
-        plus = kops.shift_left_append(wide, base1, k + 1)
-        rcp = kops.reverse_complement(plus, k + 1)
-        canon, is_rc = kops.canonical(plus, rcp)
-        canon = np.asarray(canon)
-        is_rc = np.asarray(is_rc)
-        # canonical orientation's edge: this edge if not flipped else twin
-        ecan = np.where(is_rc, twin[short], short)
-        etwn = np.where(is_rc, short, twin[short])
-        # dedupe (each pair appears twice; palindromes once per direction)
-        order = np.lexsort(tuple(canon[:, i] for i in range(canon.shape[1] - 1, -1, -1)))
-        canon, ecan, etwn = canon[order], ecan[order], etwn[order]
-        newk = np.ones((canon.shape[0],), bool)
-        newk[1:] = (canon[1:] != canon[:-1]).any(axis=1)
-        patch_keys = canon[newk]
-        patch_edge = ecan[newk].astype(np.int32)
-        patch_twin = etwn[newk].astype(np.int32)
-    else:
-        patch_keys = np.zeros((0, kops.num_words(k + 1)), np.uint32)
-        patch_edge = np.zeros((0,), np.int32)
-        patch_twin = np.zeros((0,), np.int32)
+    patch_keys, patch_edge, patch_twin = build_patch_table(
+        seq_bases, seq_off, edge_len, edge_cycle, first_kmer, twin, k
+    )
 
     log.info("edges phases3-5 %.1fs", _time.time() - _t0)
     return EdgeGraph(
@@ -498,6 +474,36 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         patch_edge=patch_edge,
         patch_twin=patch_twin,
     )
+
+
+def build_patch_table(seq_bases, seq_off, edge_len, edge_cycle,
+                      first_kmer, twin, k: int):
+    """(k+1)-mer patch entries for length-1 edges (the reference's
+    KmerSetsPatch longNode, node2edge.c:480-545); shared by the
+    single-device and sharded edge builders."""
+    short = np.nonzero((edge_len == 1) & ~edge_cycle)[0].astype(np.int32)
+    if short.size:
+        base1 = jnp.asarray(seq_bases[seq_off[short]].astype(np.uint32))
+        fk1 = jnp.asarray(first_kmer[short])
+        # (k+1)-mer = first k-mer + the single appended base; widen register
+        wide = _widen_kmer(fk1, k)
+        plus = kops.shift_left_append(wide, base1, k + 1)
+        rcp = kops.reverse_complement(plus, k + 1)
+        canon, is_rc = kops.canonical(plus, rcp)
+        canon = np.asarray(canon)
+        is_rc = np.asarray(is_rc)
+        # canonical orientation's edge: this edge if not flipped else twin
+        ecan = np.where(is_rc, twin[short], short)
+        etwn = np.where(is_rc, short, twin[short])
+        # dedupe (each pair appears twice; palindromes once per direction)
+        order = np.lexsort(tuple(canon[:, i] for i in range(canon.shape[1] - 1, -1, -1)))
+        canon, ecan, etwn = canon[order], ecan[order], etwn[order]
+        newk = np.ones((canon.shape[0],), bool)
+        newk[1:] = (canon[1:] != canon[:-1]).any(axis=1)
+        return (canon[newk], ecan[newk].astype(np.int32),
+                etwn[newk].astype(np.int32))
+    return (np.zeros((0, kops.num_words(k + 1)), np.uint32),
+            np.zeros((0,), np.int32), np.zeros((0,), np.int32))
 
 
 def _widen_kmer(words, k: int):

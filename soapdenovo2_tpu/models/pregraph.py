@@ -381,41 +381,45 @@ def read_paths_batch(
         (idx >= 0) & out["valid"], state_edge[state], -1
     )
     if patch_keys.shape[0] > 0:
-        # (k+1)-mer patch lookup WITHOUT a second full extraction
-        # (prlRead2path.c does one chop pass and search1kmerPlus:550 on
-        # top of it): the (k+1)-mer at position p is the forward k-mer
-        # plus the next base, both already produced by the k extraction.
-        from . import edges as _edges
-
-        canon_k = out["words"]
-        is_rc = out["is_rc"]
-        fwd_k = jnp.where(
-            is_rc[..., None], kops.reverse_complement(canon_k, k), canon_k
-        )
-        # forward-frame next base (undo the orientation swap of "right")
-        def _comp_or_n(x):
-            return jnp.where(x < kops.BASE_N, (3 - x) & 3, kops.BASE_N)
-
-        right_f = jnp.where(
-            is_rc, _comp_or_n(out["left"].astype(jnp.int32)),
-            out["right"].astype(jnp.int32),
-        )
-        ok1 = out["valid"] & (right_f < 4)
-        wide = _edges._widen_kmer(fwd_k, k)
-        plus = kops.shift_left_append(
-            wide, jnp.maximum(right_f, 0).astype(jnp.uint32), k + 1
-        )
-        rcp = kops.reverse_complement(plus, k + 1)
-        canon1, rc1 = kops.canonical(plus, rcp)
-        pidx = sc.lookup_kmers(patch_keys, canon1)  # (B, P)
-        p_hit = jnp.where(
-            (pidx >= 0) & ok1,
-            jnp.where(rc1, patch_twin[jnp.maximum(pidx, 0)],
-                      patch_edge[jnp.maximum(pidx, 0)]),
-            -1,
-        )
+        p_hit = patch_hits(out, k, patch_keys, patch_edge, patch_twin)
         hit = jnp.where(hit >= 0, hit, p_hit)
     return hit
+
+
+def patch_hits(out, k: int, patch_keys, patch_edge, patch_twin):
+    """(k+1)-mer patch lookup WITHOUT a second full extraction
+    (prlRead2path.c does one chop pass and search1kmerPlus:550 on top of
+    it): the (k+1)-mer at position p is the forward k-mer plus the next
+    base, both already produced by the k extraction ``out``."""
+    from . import edges as _edges
+
+    canon_k = out["words"]
+    is_rc = out["is_rc"]
+    fwd_k = jnp.where(
+        is_rc[..., None], kops.reverse_complement(canon_k, k), canon_k
+    )
+    # forward-frame next base (undo the orientation swap of "right")
+    def _comp_or_n(x):
+        return jnp.where(x < kops.BASE_N, (3 - x) & 3, kops.BASE_N)
+
+    right_f = jnp.where(
+        is_rc, _comp_or_n(out["left"].astype(jnp.int32)),
+        out["right"].astype(jnp.int32),
+    )
+    ok1 = out["valid"] & (right_f < 4)
+    wide = _edges._widen_kmer(fwd_k, k)
+    plus = kops.shift_left_append(
+        wide, jnp.maximum(right_f, 0).astype(jnp.uint32), k + 1
+    )
+    rcp = kops.reverse_complement(plus, k + 1)
+    canon1, rc1 = kops.canonical(plus, rcp)
+    pidx = sc.lookup_kmers(patch_keys, canon1)  # (B, P)
+    return jnp.where(
+        (pidx >= 0) & ok1,
+        jnp.where(rc1, patch_twin[jnp.maximum(pidx, 0)],
+                  patch_edge[jnp.maximum(pidx, 0)]),
+        -1,
+    )
 
 
 @functools.partial(
@@ -653,8 +657,8 @@ def build_arcs_sharded(
 @dataclasses.dataclass
 class PregraphResult:
     k: int
-    table: sc.KmerTable
-    graph: kg.PreGraph
+    table: Optional[sc.KmerTable]
+    graph: Optional[kg.PreGraph]
     edges: edge_mod.EdgeGraph
     arcs: ArcAccumulator
     marker_on_edge: np.ndarray
@@ -662,6 +666,9 @@ class PregraphResult:
     kmer_freq: np.ndarray
     n_reads: int
     max_read_len: int
+    # sharded path: the table/graph stay distributed; only the E-scale
+    # branch-vertex keys come to the host (vertex-file content)
+    branch_keys: Optional[np.ndarray] = None
 
 
 def run_pregraph(
@@ -700,8 +707,11 @@ def run_pregraph(
     # mid-stream (each growth is a fresh XLA merge shape)
     init_cap = _next_pow2(int(genome_size * 1.7)) if genome_size else 1 << 20
     if mesh is not None:
+        # fully sharded path: the k-mer table NEVER gathers onto one
+        # device — graph simplification and the arc pass run over the
+        # hash-owner shards (parallel/shard_graph.py)
         from ..parallel import shard_count as pc
-        from ..parallel import shard_streams as ss
+        from ..parallel import shard_graph as sgm
 
         skeys, scovs, sn, n_reads, dropped = pc.count_stream_sharded(
             read_batches(), k, mesh, max_len, batch_size,
@@ -713,23 +723,39 @@ def run_pregraph(
             raise RuntimeError(
                 f"sharded count dropped {dropped} k-mers; raise bucket_cap"
             )
-        uk, uc = ss.gather_table_union(skeys, scovs, sn)
-        cap = _next_pow2(uk.shape[0] + 1)
-        keys_p = np.full((cap, uk.shape[1]), 0xFFFFFFFF, np.uint32)
-        covs_p = np.zeros((cap, sc.N_COV), np.uint16)
-        keys_p[: uk.shape[0]] = uk
-        covs_p[: uc.shape[0]] = uc
-        table = sc.KmerTable(
-            keys=jnp.asarray(keys_p), covs=jnp.asarray(covs_p),
-            n=jnp.asarray(np.int32(uk.shape[0])),
+        gs, freq = sgm.from_sharded_count(mesh, k, skeys, scovs, sn,
+                                          d_cutoff=d_cutoff)
+        if progress:
+            log.info("count pass: %d reads (%.1fs, sharded x%d)",
+                     n_reads, time.time() - t0, mesh.devices.size)
+        gs, n_single = sgm.clip_tips_sharded(gs, thin=True)
+        gs, n_minor = sgm.clip_tips_sharded(gs, thin=False)
+        if progress:
+            log.info("tips: %d single, %d minor removed",
+                     n_single, n_minor)
+        eg, _labels = sgm.build_edges_sharded(gs)
+        if progress:
+            log.info("edges: %d directed (%.1fs)", eg.n_edges,
+                     time.time() - t0)
+        arcs, marker, paths = sgm.build_arcs_sharded_dist(
+            read_batches(), eg, gs, record_paths=record_paths,
         )
-    else:
-        batch_cache: list = []
-        table, n_reads = count_reads_to_table(
-            read_batches(), k, max_len, init_capacity=init_cap,
-            device_cache=batch_cache,
+        if progress:
+            log.info("arc pass: %d preArcs (%.1fs)", int(arcs.n),
+                     time.time() - t0)
+        return PregraphResult(
+            k=k, table=None, graph=None, edges=eg, arcs=arcs,
+            marker_on_edge=marker, paths=paths, kmer_freq=freq,
+            n_reads=n_reads, max_read_len=max_len,
+            branch_keys=sgm.download_branch_keys(gs),
         )
-        table = shrink_table(table, k)
+
+    batch_cache: list = []
+    table, n_reads = count_reads_to_table(
+        read_batches(), k, max_len, init_capacity=init_cap,
+        device_cache=batch_cache,
+    )
+    table = shrink_table(table, k)
     if progress:
         log.info(
             "count pass: %d reads -> %d kmers (%.1fs)",
@@ -760,20 +786,13 @@ def run_pregraph(
     if progress:
         log.info("edges: %d directed (%.1fs)", eg.n_edges, time.time() - t0)
 
-    if mesh is not None:
-        arcs, marker, paths = build_arcs_sharded(
-            read_batches(),
-            eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k, mesh,
-            record_paths=record_paths,
-        )
-    else:
-        cached = batch_cache if None not in batch_cache else None
-        arcs, marker, paths = build_arcs(
-            read_batches() if cached is None else (),
-            eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
-            record_paths=record_paths,
-            cached=cached,
-        )
+    cached = batch_cache if None not in batch_cache else None
+    arcs, marker, paths = build_arcs(
+        read_batches() if cached is None else (),
+        eg, sc.KmerTable(keys=g.keys, covs=g.covs, n=g.n), k,
+        record_paths=record_paths,
+        cached=cached,
+    )
     if progress:
         log.info(
             "arc pass: %d preArcs (%.1fs)", int(arcs.n), time.time() - t0
