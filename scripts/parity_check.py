@@ -272,3 +272,115 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def run_parity_diploid(workdir: str, genome_len: int = 100_000,
+                       k: int = 23, coverage: float = 40.0,
+                       snp_rate: float = 1 / 300, seed: int = 321,
+                       read_len: int = 100, extra=("-R",)) -> dict:
+    """High-SNP diploid golden: reads drawn half from each haplotype
+    (hap2 = hap1 with ~1 SNP per 1/snp_rate bp) — the bubble-dense case
+    where tour-bus merge bookkeeping (cleanUpRedundancy, bubble.c:1862)
+    and -R path evidence interact.  Both sides run `all` with ``extra``
+    (default -R); matched bases count against EITHER haplotype."""
+    import numpy as np
+
+    from soapdenovo2_tpu import cli
+    from soapdenovo2_tpu.io import files as fio
+    from soapdenovo2_tpu.utils import simulate as sim
+    from soapdenovo2_tpu.utils.simulate import assembly_stats
+
+    os.makedirs(workdir, exist_ok=True)
+    hap1 = sim.random_genome(genome_len, seed=seed)
+    rng = np.random.default_rng(seed + 7)
+    h2 = bytearray(hap1)
+    n_snp = rng.poisson(genome_len * snp_rate)
+    sites = rng.choice(genome_len, size=n_snp, replace=False)
+    for p in sites:
+        cur = h2[p]
+        alts = [b for b in b"ACGT" if b != cur]
+        h2[p] = alts[rng.integers(0, 3)]
+    hap2 = bytes(h2)
+    r1a, r2a = sim.simulate_pe_reads(hap1, read_len, 350, coverage / 2,
+                                     0.004, seed=seed + 1)
+    r1b, r2b = sim.simulate_pe_reads(hap2, read_len, 350, coverage / 2,
+                                     0.004, seed=seed + 2)
+    p1 = os.path.join(workdir, "dip_1.fastq")
+    p2 = os.path.join(workdir, "dip_2.fastq")
+    sim.write_fastq(p1, r1a + r1b)
+    sim.write_fastq(p2, r2a + r2b)
+    cfgp = os.path.join(workdir, "dip.config")
+    with open(cfgp, "w") as fh:
+        fh.write(
+            f"max_rd_len={read_len}\n[LIB]\navg_ins=350\nreverse_seq=0\n"
+            f"asm_flags=3\nrank=1\nq1={p1}\nq2={p2}\n"
+        )
+
+    binary = build_reference(63)
+    ref_prefix = os.path.join(workdir, "ref_asm")
+    tpu_prefix = os.path.join(workdir, "tpu_asm")
+    subprocess.run(
+        [binary, "all", "-s", cfgp, "-K", str(k), "-o", ref_prefix,
+         "-p", "4", *extra],
+        check=True, capture_output=True, timeout=900, cwd=workdir,
+    )
+    cli.main(["all", "-s", cfgp, "-K", str(k), "-o", tpu_prefix, *extra])
+
+    g1 = hap1.decode()
+    g2 = hap2.decode()
+    comp = str.maketrans("ACGTN", "TGCAN")
+
+    def _mosaic_frac(seg):
+        """Min mismatch fraction of seg against either haplotype at a
+        seed-anchored offset (reads are indel-free, so position-exact
+        comparison suffices).  Diploid consensus contigs are haplotype
+        MOSAICS — each merged bubble keeps one arm — so exact-substring
+        matching just penalizes contig length; a segment is correct when
+        it matches a haplotype up to isolated SNP sites."""
+        best = 1.0
+        for s in (seg, seg.translate(comp)[::-1]):
+            for g in (g1, g2):
+                for off in (0, len(s) // 2):
+                    seed = s[off : off + 32]
+                    j = g.find(seed)
+                    while j >= 0 and best > 0:
+                        start = j - off
+                        if 0 <= start and start + len(s) <= len(g):
+                            mm = sum(1 for a, b in
+                                     zip(s, g[start : start + len(s)])
+                                     if a != b)
+                            best = min(best, mm / len(s))
+                        j = g.find(seed, j + 1)
+        return best
+
+    def matched_bases(seqs):
+        good = bad = 0
+        for c in seqs:
+            if len(c) < 100:
+                continue
+            for s in re.split("N+", c):
+                if len(s) < 50:
+                    continue
+                rc = s.translate(comp)[::-1]
+                if s in g1 or s in g2 or rc in g1 or rc in g2:
+                    good += len(s)
+                elif _mosaic_frac(s) <= 0.02:
+                    good += len(s)  # SNP-mosaic, structurally exact
+                else:
+                    bad += len(s)
+        return good, bad
+
+    out = {}
+    for name, prefix in (("ref", ref_prefix), ("tpu", tpu_prefix)):
+        ctg = [s for _, s in fio.read_contigs(prefix + ".contig")
+               if len(s) >= 100]
+        scaf = [s for _, s in fio.read_fasta(prefix + ".scafSeq")
+                if len(s) >= 100]
+        good, bad = matched_bases(scaf)
+        out[name] = {
+            "contig": assembly_stats(ctg),
+            "scaffold": assembly_stats(scaf),
+            "matched": good,
+            "mismatched": bad,
+        }
+    return out

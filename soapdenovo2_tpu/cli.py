@@ -94,10 +94,11 @@ def _scaff_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--arc-mask", dest="arc_mask", action="store_true",
                    help="mask repeats by arc weight (maskRepeatByArc, "
                         "disabled by default like the reference)")
-    p.add_argument("-B", dest="snp_cvg", type=float, default=0.0,
+    p.add_argument("-B", dest="snp_cvg", type=float, default=0.6,
                    help="SNP-bubble coverage cutoff relative to the "
                         "average contig coverage (scaffold.c -B, "
-                        "removeBubbleCtg); 0 disables")
+                        "removeBubbleCtg; reference default 0.6, "
+                        "global.h:104); 0 disables")
     p.add_argument("-S", dest="gapfill_only", action="store_true",
                    help="scaffold structure exists: resume at gap "
                         "filling only, from *.scaf_gap "
@@ -185,8 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
     allp.add_argument("-F", dest="fill_gaps", action="store_true")
     allp.add_argument("-L", dest="min_ctg_len", type=int, default=0)
     allp.add_argument("-k", dest="map_kmer", type=int, default=0)
-    allp.add_argument("-B", dest="snp_cvg", type=float, default=0.0,
-                      help="SNP-bubble coverage cutoff (scaff -B)")
+    allp.add_argument("-B", dest="snp_cvg", type=float, default=0.6,
+                      help="SNP-bubble coverage cutoff (scaff -B; "
+                           "reference default 0.6)")
     return ap
 
 

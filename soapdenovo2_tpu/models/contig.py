@@ -842,10 +842,28 @@ def _tb_remap_path(g: ContigGraph, times: np.ndarray, prev: np.ndarray,
                 g.cvg10[f] = cov
                 g.cvg10[int(twin[f])] = cov
         if g.marker is not None:
-            g.marker[f_in] = min(255, int(g.marker[f_in]) + int(g.marker[s]))
-            g.marker[tf_in] = min(
-                255, int(g.marker[tf_in]) + int(g.marker[ts])
-            )
+            # base-granular split (readInterval.c role): the slow node's
+            # read multiplicity lands on each fast node in proportion to
+            # the BASES of the slow node that map onto it — the aggregate
+            # of the reference's per-interval remap
+            # (remapBackOfNodeOntoNeighbour splitting at base positions)
+            spans = [(f, ls) for f, ls in covs[s] if ls >= 1]
+            total_ls = sum(ls for _, ls in spans)
+            if total_ls > 0:
+                ms, mts = int(g.marker[s]), int(g.marker[ts])
+                for f, ls in spans:
+                    share = (ms * ls + total_ls // 2) // total_ls
+                    tshare = (mts * ls + total_ls // 2) // total_ls
+                    g.marker[f] = min(255, int(g.marker[f]) + share)
+                    g.marker[int(twin[f])] = min(
+                        255, int(g.marker[int(twin[f])]) + tshare
+                    )
+            else:
+                g.marker[f_in] = min(
+                    255, int(g.marker[f_in]) + int(g.marker[s]))
+                g.marker[tf_in] = min(
+                    255, int(g.marker[tf_in]) + int(g.marker[ts])
+                )
         # SNP record for *.bubbleSNP / .bubbleInScaff (equal-length merge)
         if len(g.seqs[s]) == len(g.seqs[f_in]):
             snps = np.nonzero(g.seqs[s] != g.seqs[f_in])[0].tolist()

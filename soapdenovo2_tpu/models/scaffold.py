@@ -380,9 +380,7 @@ class Scaffolder:
         self._remember_links(links, by_small=by_small_rank)
         if by_small_rank:
             self._had_small_rank = True
-        if self.use_native and not (
-            not by_small_rank and getattr(self, "_had_small_rank", False)
-        ):
+        if self.use_native:
             from .. import native as native_mod
 
             lib = native_mod.get_scaffolder_lib()
@@ -648,6 +646,18 @@ class Scaffolder:
         c2 = np.ascontiguousarray(links.c2, np.int64)
         lw = np.ascontiguousarray(links.weight, np.int64)
         lg = np.ascontiguousarray(links.gap, np.int64)
+        # small-insert link history for the :7074 dh_cnt->bySmall consult
+        # (only long ranks after a short rank can hit it, but passing it
+        # unconditionally keeps one code path)
+        skeys = [
+            (a << 32) | b
+            for (a, b), rec in self.ctg_links.items()
+            if len(rec) > 2 and rec[2] and 0 <= a < (1 << 31)
+            and 0 <= b < (1 << 32)
+        ]
+        small_keys = np.asarray(sorted(skeys), np.uint64) \
+            if skeys else np.zeros((1,), np.uint64)
+        small_n = len(skeys)
         out_ptr = np.zeros((n_ch + 2,), np.int64)
         out_ctgs = np.zeros((max(total_ctgs, 1),), np.int64)
         out_gaps = np.zeros((max(total_ctgs, 1),), np.int64)
@@ -665,6 +675,7 @@ class Scaffolder:
             int(max(self.k, 0)),
             float(self.cvg4snp), int(snp_possible),
             P(head, u64p), P(tail, u64p),
+            small_n, P(small_keys, u64p),
             P(out_ptr), P(out_ctgs), P(out_gaps), P(out_snp), P(out_counts),
         )
         if rc != 0:
@@ -734,9 +745,12 @@ class Scaffolder:
             ins.setdefault(b, []).append((a, w, g))
         consumed: set = set()
         n_linearized = 0
+        stats = {"picked": 0, "bfs_fail": 0, "small": 0, "twin": 0,
+                 "overlap": 0, "conflict": 0, "committed": 0}
         for a in sorted(outs.keys()):
             if a in consumed or len(outs.get(a, ())) < 2:
                 continue
+            stats["picked"] += 1
             # gather positions by relaxation BFS in both directions,
             # bounded by insert-size DISTANCE from a's ends like the
             # reference's pickUpGeneralSubgraph (orderContig.c:6464):
@@ -780,32 +794,45 @@ class Scaffolder:
                         pos[pn] = p
                         queue.append(pn)
             if not ok or len(pos) < 3:
+                stats["bfs_fail" if not ok else "small"] += 1
                 continue
             # checkEligible: no member together with its reverse complement
             if any((x ^ 1) in pos for x in pos):
+                stats["twin"] += 1
                 continue
             order = sorted(pos.items(), key=lambda kv: (kv[1], kv[0]))
             # SNP-bubble collapse over the ordered subgraph (-B,
             # removeBubbleCtg orderContig.c:7986)
             if snp and len(order) >= 2:
                 order = self._remove_bubble_ctg(order, linkset, chain_len_of)
-            # checkOverlapInBetween_general: consecutive overlap bounded.
-            # Contig coordinates here use FULL sequence lengths, so
-            # arc-adjacent members legitimately overlap by the shared
-            # k-mer junction — allow k plus slack before calling conflict
-            # (the reference's lengths exclude the junction overlap, so
-            # its tolerance needs no k term).
-            ok = True
+            # checkOverlapInBetween_general (orderContig.c:7495):
+            # AGGREGATE overlap budget, not per-pair — an adjacent pair's
+            # overlap is excused when a direct connection predicted it
+            # (cnt->gapLen > gap) or it is below one k-mer; the excess
+            # accumulates and the subgraph fails only when it exceeds
+            # tolerance x total subgraph length.  (The former per-pair
+            # bound rejected 35/51 diploid subgraphs where co-located SNP
+            # arms overlap legitimately; the reference rejects 4.)
+            # Our coordinates use FULL contig lengths (reference lengths
+            # exclude the k overlap), so the one-k-mer excuse keeps the
+            # junction-overlap slack plus estimation noise (ins_var).
+            len_sum = sum(chain_len_of(x) for x, _ in order)
+            len_olp = 0
+            ok = len_sum >= 1
             for (x, px), (y, py) in zip(order, order[1:]):
                 overlap = px + chain_len_of(x) - py
-                lim = max(
-                    overlap_tol * min(chain_len_of(x), chain_len_of(y)),
-                    ins_var + max(self.k, 0),
-                )
-                if overlap > lim:
+                if overlap > 0:
+                    direct = linkset.get((x, y)) or linkset.get((y, x))
+                    if direct is not None and direct[1] > -overlap:
+                        continue
+                    if overlap < max(self.k, 0) + ins_var:
+                        continue
+                    len_olp += overlap
+                if len_olp > overlap_tol * len_sum:
                     ok = False
                     break
             if not ok:
+                stats["overlap"] += 1
                 continue
             # checkConflictCnt_general: links pointing against the order
             rank = {x: i for i, (x, _) in enumerate(order)}
@@ -816,6 +843,7 @@ class Scaffolder:
                     if rank[y] <= rank[x]:
                         confl += w
             if total <= 0 or confl > confl_tol * total:
+                stats["conflict"] += 1
                 continue
             # adjacent-pair arbitration (orderContig.c:7074-7135): when the
             # distance sort put (x, y) adjacent but only the REVERSED link
@@ -869,6 +897,8 @@ class Scaffolder:
                 linkset[(y ^ 1, x ^ 1)] = (wgt, ggap)
             consumed |= members | members_m
             n_linearized += 1
+            stats["committed"] += 1
+        log.debug("general_linearization: %s", stats)
         return n_linearized
 
     # -- removeBubbleCtg (orderContig.c:7986) --------------------------------
@@ -1364,8 +1394,15 @@ def run_scaff(
     cvg_dir = None
     if contig_cvg is not None:
         cvg_dir = np.repeat(np.asarray(contig_cvg, np.float64), 2)
+    # -L default: the reference masks contigs whose sans-overlap length
+    # is < K+2 out of scaffolding (ctg_short = overlaplen + 2,
+    # loadGraph.c:302-304, compared against the k-excluded length
+    # at :483) — on bubble-dense graphs the short noise otherwise drowns
+    # link building.  min_ctg_len is in the same sans-k units as -L.
+    eff_l = min_ctg_len if min_ctg_len else (k + 2 if k else 0)
+    full_cutoff = eff_l + k if eff_l else 0
     # -u (scaffold.c:149): keep high-coverage contigs unmasked
-    sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=min_ctg_len,
+    sc = Scaffolder(ctg_len, cvg=cvg_dir, min_ctg_len=full_cutoff,
                     mask_high_cvg=not unmask, cvg4snp=cvg4snp,
                     contig_seqs=contig_seqs, k=k,
                     cvg_low=cvg_low, cvg_high=cvg_high,

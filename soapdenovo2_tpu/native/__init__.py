@@ -119,6 +119,7 @@ def get_scaffolder_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # params
             ctypes.c_int64,                                # k
             ctypes.c_double, ctypes.c_int64, u64p, u64p,   # snp
+            ctypes.c_int64, u64p,                          # small history
             i64p, i64p, i64p, i64p, i64p,                  # outputs
         ]
         _scaf_lib = lib

@@ -75,6 +75,33 @@ struct Ctx {
 
   int64_t chain_len_of(int64_t node) const { return chain_total[node >> 1]; }
 
+  // small-insert link history (scaffold.py ctg_links by_small records):
+  // sorted (tail_ctg << 32 | head_ctg) keys; the :7074 arbitration's
+  // dh_cnt->bySmall consult on long ranks after a short rank
+  int64_t n_small = 0;
+  const uint64_t* small_keys = nullptr;
+
+  int64_t node_head_ctg(int64_t node) const {
+    int64_t ch = node >> 1;
+    int64_t b = chain_ptr[ch], e = chain_ptr[ch + 1];
+    if (e <= b) return -1;
+    return (node & 1) ? (chain_ctgs[e - 1] ^ 1) : chain_ctgs[b];
+  }
+  int64_t node_tail_ctg(int64_t node) const {
+    int64_t ch = node >> 1;
+    int64_t b = chain_ptr[ch], e = chain_ptr[ch + 1];
+    if (e <= b) return -1;
+    return (node & 1) ? (chain_ctgs[b] ^ 1) : chain_ctgs[e - 1];
+  }
+  bool rev_small(int64_t y, int64_t x) const {
+    if (!n_small) return false;
+    int64_t cy = node_tail_ctg(y), cx = node_head_ctg(x);
+    if (cy < 0 || cx < 0) return false;
+    uint64_t key = (static_cast<uint64_t>(cy) << 32) |
+                   static_cast<uint32_t>(cx);
+    return std::binary_search(small_keys, small_keys + n_small, key);
+  }
+
   int64_t n_chain_ctgs(int64_t ch) const {
     return chain_ptr[ch + 1] - chain_ptr[ch];
   }
@@ -280,21 +307,34 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
                 return x.first < y.first;
               });
     if (snp && order.size() >= 2) order = remove_bubble_ctg(ctx, order, ls);
-    // checkOverlapInBetween_general
-    ok = true;
-    for (size_t i = 0; i + 1 < order.size(); ++i) {
-      int64_t x = order[i].first, px = order[i].second;
-      int64_t y = order[i + 1].first, py = order[i + 1].second;
-      int64_t overlap = px + ctx.chain_len_of(x) - py;
-      // full-length contig coordinates: arc-adjacent members overlap by
-      // the shared k-mer junction, so allow k plus slack (scaffold.py)
-      double lim = std::max(
-          overlap_tol * static_cast<double>(
-                            std::min(ctx.chain_len_of(x), ctx.chain_len_of(y))),
-          static_cast<double>(ins_var + std::max(ctx.k, int64_t(0))));
-      if (static_cast<double>(overlap) > lim) {
-        ok = false;
-        break;
+    // checkOverlapInBetween_general (orderContig.c:7495): AGGREGATE
+    // overlap budget — a pair's overlap is excused when a direct
+    // connection predicted it (cnt->gapLen > gap) or it is under one
+    // k-mer (+ins_var in our full-length coordinates); the excess
+    // accumulates and fails only past tolerance x total length
+    {
+      int64_t len_sum = 0;
+      for (auto& o : order) len_sum += ctx.chain_len_of(o.first);
+      int64_t len_olp = 0;
+      ok = len_sum >= 1;
+      for (size_t i = 0; ok && i + 1 < order.size(); ++i) {
+        int64_t x = order[i].first, px = order[i].second;
+        int64_t y = order[i + 1].first, py = order[i + 1].second;
+        int64_t overlap = px + ctx.chain_len_of(x) - py;
+        if (overlap > 0) {
+          uint64_t kxy = (static_cast<uint64_t>(x) << 32) |
+                         static_cast<uint32_t>(y);
+          uint64_t kyx = (static_cast<uint64_t>(y) << 32) |
+                         static_cast<uint32_t>(x);
+          auto it = ls.find(kxy);
+          if (it == ls.end()) it = ls.find(kyx);
+          if (it != ls.end() && it->second.g > -overlap) continue;
+          if (overlap < std::max(ctx.k, int64_t(0)) + ins_var) continue;
+          len_olp += overlap;
+        }
+        if (static_cast<double>(len_olp) >
+            overlap_tol * static_cast<double>(len_sum))
+          ok = false;
       }
     }
     if (!ok) continue;
@@ -314,10 +354,10 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
     if (total <= 0 || confl > confl_tol * total) continue;
     // adjacent-pair arbitration (orderContig.c:7074-7135): only the
     // REVERSED link exists between sort-adjacent (x, y) -> exchange when
-    // small-insert evidence backs it (bySmall) or the negative gap shows
-    // two near-coincident contigs got flipped (python _general_
-    // linearization mirrors this; the small-HISTORY consult only matters
-    // on long ranks after a small rank, where the python path runs)
+    // small-insert evidence backs it (bySmall this rank, or the
+    // contig-level small-rank history on long ranks — the
+    // dh_cnt->bySmall consult) or the negative gap shows two
+    // near-coincident contigs got flipped
     {
       bool changed = true;
       size_t guard = 0;
@@ -342,7 +382,7 @@ void general_linearization(Ctx& ctx, LinkSet& ls, int64_t ins_var,
           bool neg = ((-gap_xy > ctx.chain_len_of(x) ||
                        -gap_xy > ctx.chain_len_of(y)) &&
                       tmp_dis > 0 && tmp_dis < 500 && rev_w > 3);
-          if (by_small || neg) {
+          if (by_small || ctx.rev_small(y, x) || neg) {
             order[i] = {y, px};
             order[i + 1] = {x, py};
             changed = true;
@@ -438,6 +478,7 @@ int64_t scaff_ordering_rank(
     const int64_t* lgap, int64_t pair_cutoff, int64_t insert_size,
     int64_t last_rank, int64_t k, double cvg4snp, int64_t snp_enabled,
     const uint64_t* head_sig, const uint64_t* tail_sig,
+    int64_t n_small, const uint64_t* small_keys,
     int64_t* out_chain_ptr, int64_t* out_ctgs, int64_t* out_gaps,
     int64_t* out_snp_pairs, int64_t* out_counts) {
   Ctx ctx;
@@ -456,6 +497,8 @@ int64_t scaff_ordering_rank(
   ctx.snp_enabled = static_cast<int>(snp_enabled);
   ctx.head_sig = head_sig;
   ctx.tail_sig = tail_sig;
+  ctx.n_small = n_small;
+  ctx.small_keys = small_keys;
   ctx.snp_pairs = out_snp_pairs;
   ctx.n_snp = 0;
   ctx.n_masked_puzzle = 0;
