@@ -904,8 +904,105 @@ def _tb_remap_path(g: ContigGraph, times: np.ndarray, prev: np.ndarray,
         g.deleted[ts] = True
 
 
+def tour_bus_native(g: ContigGraph, similarity: float = 0.90, M: int = 1,
+                    max_seq_len: int = 100) -> Optional[int]:
+    """tour_bus through the C++ CSR core (native/contiggraph.cpp — a
+    statement-for-statement port of the Python implementation below;
+    parity-tested).  The Python path walks dict-of-dict arcs and is the
+    wall at the reference's human-scale edge counts (bubble.c runs over
+    millions of edges); the native core runs a 1M-edge graph in seconds.
+    Returns None when the native library is unavailable (callers fall
+    back to the Python oracle)."""
+    import ctypes
+
+    from .. import native as native_mod
+
+    lib = native_mod.get_contiggraph_lib()
+    if lib is None:
+        return None
+    E = g.n_edges
+    if E == 0:
+        return 0
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def P(a, t=i64p):
+        return a.ctypes.data_as(t)
+
+    twin = np.ascontiguousarray(g.twin, np.int64)
+    has_marker = g.marker is not None
+    seq_off = np.zeros((E + 1,), np.int64)
+    for e in range(E):
+        seq_off[e + 1] = seq_off[e] + len(g.seqs[e])
+    seq_bases = np.empty((int(seq_off[-1]),), np.uint8)
+    for e in range(E):
+        seq_bases[seq_off[e] : seq_off[e + 1]] = g.seqs[e]
+    n_arc = sum(len(a) for a in g.arcs)
+    arc_ptr = np.zeros((E + 1,), np.int64)
+    arc_to = np.zeros((max(n_arc, 1),), np.int64)
+    arc_mult = np.zeros((max(n_arc, 1),), np.int64)
+    pos = 0
+    for e in range(E):
+        for t, m in sorted(g.arcs[e].items()):
+            arc_to[pos] = t
+            arc_mult[pos] = m
+            pos += 1
+        arc_ptr[e + 1] = pos
+    out_cap = 2 * n_arc + 16
+    while True:
+        # fresh copies of the in/out arrays each attempt: the core
+        # mutates them in place, so an output-buffer overflow retry must
+        # start from pristine state
+        deleted = np.ascontiguousarray(g.deleted, np.uint8).copy()
+        cvg10 = np.ascontiguousarray(g.cvg10, np.int32).copy()
+        marker = np.ascontiguousarray(
+            g.marker if has_marker else np.zeros((E,)), np.int32).copy()
+        out_ptr = np.zeros((E + 1,), np.int64)
+        out_to = np.zeros((out_cap,), np.int64)
+        out_mult = np.zeros((out_cap,), np.int64)
+        bub_cap = E + 1
+        bub_keep = np.zeros((bub_cap,), np.int64)
+        bub_del = np.zeros((bub_cap,), np.int64)
+        snp_cap = max(int(seq_off[-1]) // 16, 1024)
+        snp_ptr = np.zeros((bub_cap + 1,), np.int64)
+        snp_pos = np.zeros((snp_cap,), np.int64)
+        counts = np.zeros((4,), np.int64)
+        rc = lib.contig_tour_bus(
+            E, g.k, P(twin), P(deleted, u8p), P(cvg10, i32p),
+            P(marker, i32p), int(has_marker),
+            P(seq_off), P(seq_bases, u8p),
+            P(arc_ptr), P(arc_to), P(arc_mult),
+            float(similarity), int(M), int(max_seq_len),
+            out_cap, P(out_ptr), P(out_to), P(out_mult),
+            bub_cap, P(bub_keep), P(bub_del),
+            P(snp_ptr), snp_cap, P(snp_pos),
+            P(counts),
+        )
+        if rc == -1:
+            out_cap *= 2
+            continue
+        break
+    g.deleted = deleted.astype(bool)
+    g.cvg10 = cvg10.astype(np.int32)
+    if has_marker:
+        g.marker = marker.astype(np.int32)
+    new_arcs: List[Dict[int, int]] = []
+    for e in range(E):
+        d = {}
+        for i in range(int(out_ptr[e]), int(out_ptr[e + 1])):
+            d[int(out_to[i])] = int(out_mult[i])
+        new_arcs.append(d)
+    g.arcs = new_arcs
+    for i in range(int(counts[2])):
+        snps = [int(x) for x in
+                snp_pos[int(snp_ptr[i]) : int(snp_ptr[i + 1])]]
+        g.bubbles.append((int(bub_keep[i]), int(bub_del[i]), 1.0, snps))
+    return int(counts[0])
+
+
 def tour_bus(g: ContigGraph, similarity: float = 0.90, M: int = 1,
-             max_seq_len: int = 100) -> int:
+             max_seq_len: int = 100, native: Optional[bool] = None) -> int:
     """Full tour-bus bubble popping (bubble.c bubblePinch:2389).
 
     Dijkstra from each eligible starting edge with arc time
@@ -920,8 +1017,20 @@ def tour_bus(g: ContigGraph, similarity: float = 0.90, M: int = 1,
     Unlike the bounded path enumeration in bubble_pinch_paths, nested and
     deep bubbles collapse because merged paths immediately rejoin the
     ongoing traversal.  ``max_seq_len`` mirrors MAXREADLENGTH=100.
+
+    ``native``: route through the C++ CSR core (default: on unless
+    SOAP_TPU_NATIVE_TOURBUS=0); the Python path below is the parity
+    oracle and the fallback.
     """
     import heapq
+    import os
+
+    if native is None:
+        native = os.environ.get("SOAP_TPU_NATIVE_TOURBUS", "1") == "1"
+    if native:
+        r = tour_bus_native(g, similarity, M, max_seq_len)
+        if r is not None:
+            return r
 
     E = g.n_edges
     if M <= 1:

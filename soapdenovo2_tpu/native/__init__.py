@@ -124,3 +124,56 @@ def get_scaffolder_lib() -> Optional[ctypes.CDLL]:
         ]
         _scaf_lib = lib
         return _scaf_lib
+
+
+_CG_SO = os.path.join(_DIR, "libcontiggraph.so")
+_CG_SRC = os.path.join(_DIR, "contiggraph.cpp")
+_cg_lib: Optional[ctypes.CDLL] = None
+_cg_tried = False
+
+
+def get_contiggraph_lib() -> Optional[ctypes.CDLL]:
+    """The native contig-graph bubble core (tour-bus over CSR arrays;
+    None when unavailable)."""
+    global _cg_lib, _cg_tried
+    with _lock:
+        if _cg_lib is not None or _cg_tried:
+            return _cg_lib
+        _cg_tried = True
+        if not os.path.exists(_CG_SO) or (
+            os.path.getmtime(_CG_SO) < os.path.getmtime(_CG_SRC)
+        ):
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", _CG_SRC, "-o", _CG_SO,
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=180)
+            except Exception as e:  # noqa: BLE001
+                log.warning(
+                    "native contiggraph build failed (%s); python path", e
+                )
+                return None
+        try:
+            lib = ctypes.CDLL(_CG_SO)
+        except OSError as e:
+            log.warning("native contiggraph load failed (%s)", e)
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.contig_tour_bus.restype = ctypes.c_int64
+        lib.contig_tour_bus.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, u8p, i32p, i32p,
+            ctypes.c_int64,                                # has_marker
+            i64p, u8p,                                     # seqs
+            i64p, i64p, i64p,                              # arcs CSR
+            ctypes.c_double, ctypes.c_int64, ctypes.c_int64,  # params
+            ctypes.c_int64, i64p, i64p, i64p,              # out arcs
+            ctypes.c_int64, i64p, i64p, i64p,              # bubbles
+            ctypes.c_int64, i64p,                          # snps
+            i64p,                                          # counts
+        ]
+        _cg_lib = lib
+        return _cg_lib
