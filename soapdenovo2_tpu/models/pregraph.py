@@ -35,12 +35,66 @@ def _next_pow2(x: int) -> int:
     return 1 << max(10, (x - 1).bit_length())
 
 
+# one LSM merge program peaks at ~6x the table bytes; past 2^25 rows per
+# operand the 128M-row merge alone exceeds a 16 GB chip's HBM (measured:
+# 18.4 G needed at 2^27 capacity, the 50 Mb OOM).  Larger tables run the
+# PREFIX-PARTITIONED path: P key-range partitions, each its own bounded
+# LSM table, concatenated order-preserving at the end — the single-chip
+# sequential analog of the multi-chip hash sharding.
+PARTITION_ROWS = 1 << 24
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def _slice_sorted_run(keys, covs, lo, hi, out_rows: int):
+    """Rows [lo, hi) of a sorted run rotated to the front and truncated
+    to ``out_rows`` (static; callers size it from the known partition
+    sizes so nothing drops), sentinel tail.  lo/hi are traced scalars."""
+    k2 = jnp.roll(keys, -lo, axis=0)[:out_rows]
+    c2 = jnp.roll(covs, -lo, axis=0)[:out_rows]
+    m = jnp.arange(out_rows, dtype=jnp.int32) < (hi - lo)
+    k2 = jnp.where(m[:, None], k2, jnp.uint32(0xFFFFFFFF))
+    c2 = jnp.where(m[:, None], c2, jnp.uint16(0))
+    return sc.KmerTable(keys=k2, covs=c2, n=(hi - lo).astype(jnp.int32))
+
+
+def _finalize_partitioned(tables, k: int, d_cutoff: int) -> sc.KmerTable:
+    """Per-partition -d prune + compaction, then order-preserving
+    concatenation into one dense sorted table (partitions are key
+    ranges, so concatenation IS the globally sorted table)."""
+    P = len(tables)
+    pruned = []
+    for t in tables:
+        g = kg.from_table(t)
+        if d_cutoff > 0:
+            g = kg.de_low_cov(g, jnp.int32(d_cutoff))
+        pruned.append(g)
+    lives = np.asarray(
+        jnp.stack([jnp.sum((~g.deleted).astype(jnp.int32))
+                   for g in pruned])
+    )
+    u_cap = _next_pow2(int(lives.max()) + 1)
+    total = int(lives.sum())
+    w = tables[0].keys.shape[1]
+    final_cap = _next_pow2(total + u_cap)
+    fk = jnp.full((final_cap, w), 0xFFFFFFFF, jnp.uint32)
+    fc = jnp.zeros((final_cap, sc.N_COV), jnp.uint16)
+    off = 0
+    for g, lv in zip(pruned, lives):
+        gc = kg._compact_to(g, min(u_cap, g.keys.shape[0]))
+        fk = jax.lax.dynamic_update_slice(fk, gc.keys, (off, 0))
+        fc = jax.lax.dynamic_update_slice(fc, gc.covs, (off, 0))
+        off += int(lv)
+    return sc.KmerTable(keys=fk, covs=fc, n=jnp.int32(total))
+
+
 def count_reads_to_table(
     batches: Iterable[rio.ReadBatch],
     k: int,
     max_len: int,
     init_capacity: int = 1 << 20,
     device_cache: Optional[list] = None,
+    partitions: int = 1,
+    prune_d: int = 0,
 ) -> Tuple[sc.KmerTable, int]:
     """Stream read batches into a merged, sorted k-mer table.
 
@@ -60,8 +114,21 @@ def count_reads_to_table(
     preserved, so growth never re-merges).
     """
     kops.validate_k(k)
-    capacity = init_capacity
-    table = sc.empty_table(capacity, k)
+    P = max(1, partitions)
+    if P > 1:
+        cap_p = max(1 << 20, _next_pow2(init_capacity // P))
+        tables = [sc.empty_table(cap_p, k) for _ in range(P)]
+        capacity = P * cap_p
+        w0b = kops.top_word_bits(k)
+        lgP = (P - 1).bit_length()
+        bvals = jnp.asarray(
+            (np.arange(1, P, dtype=np.uint64)
+             << np.uint64(w0b - lgP)).astype(np.uint32)
+        )
+        table = None
+    else:
+        capacity = init_capacity
+        table = sc.empty_table(capacity, k)
     n_reads = 0
     table_n = 0  # host-side upper bound on live table entries
     pending: list = []
@@ -114,11 +181,17 @@ def count_reads_to_table(
             if cache_bytes[0] <= (2 << 30):
                 device_cache.append((args, L, batch.n))
             elif not device_cache or device_cache[-1] is not None:
-                device_cache.append(None)
+                # abandoned: DROP the resident entries too — 2 GB of HBM
+                # held for a cache that will never be replayed starves
+                # the large-table merges
+                device_cache[:] = [None]
         return lambda: batch_rows_packed(*args, L=L)
 
+    part_n = np.zeros((P,), np.int64)  # per-partition live counts
+
     def flush():
-        nonlocal table, capacity, pending, pending_rows, table_n
+        nonlocal table, capacity, pending, pending_rows, table_n, tables, \
+            cap_p, part_n
         if not pending:
             return
         batch_cap = pending[0].keys.shape[0]
@@ -135,6 +208,44 @@ def count_reads_to_table(
         if ln > rcap:  # truncated: redo at a truncation-free capacity
             rcap = _next_pow2(ln)
             l1 = sc.reduce_raws(tuple(pending), rcap)
+        if P > 1:
+            # key-range split of the sorted run; per-partition bounded
+            # merges keep every program under the HBM ceiling
+            b = jnp.searchsorted(l1.keys[:, 0], bvals).astype(jnp.int32)
+            bounds = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), b,
+                 l1.n[None].astype(jnp.int32)]
+            )
+            bnp = np.asarray(bounds)
+            run_sizes = np.diff(bnp)
+            need = int((part_n + run_sizes).max())
+            if need > cap_p:
+                cap_p = _next_pow2(need * 2)
+                tables = [sc.grow_table(t, cap_p) for t in tables]
+                capacity = P * cap_p
+            # tight static run buffer: the merge network pads to the
+            # combined pow2, so an rcap-sized operand would quadruple
+            # every per-partition merge
+            run_cap = _next_pow2(int(run_sizes.max()) + 1)
+            for p in range(P):
+                if run_sizes[p] == 0:
+                    continue
+                run_p = _slice_sorted_run(l1.keys, l1.covs,
+                                          bounds[p], bounds[p + 1],
+                                          run_cap)
+                tables[p] = sc.merge_sorted_tables(tables[p], run_p,
+                                                   cap_p)
+                # serialize the per-partition merges: async dispatch lets
+                # P merge workspaces go live at once, which is exactly
+                # the blow-up partitioning exists to avoid
+                jax.block_until_ready(tables[p].n)
+            part_n = np.asarray(
+                jnp.stack([t.n for t in tables])
+            ).astype(np.int64)
+            table_n = int(part_n.sum())
+            pending = []
+            pending_rows = 0
+            return
         if table_n + ln > capacity:
             capacity = _next_pow2((table_n + ln) * 2)
             table = sc.grow_table(table, capacity)
@@ -167,6 +278,8 @@ def count_reads_to_table(
         pending.append(bt)
         pending_rows += bt.keys.shape[0]
     flush()
+    if P > 1:
+        table = _finalize_partitioned(tables, k, prune_d)
     return table, n_reads
 
 
@@ -751,19 +864,26 @@ def run_pregraph(
         )
 
     batch_cache: list = []
+    # tables past the per-program HBM ceiling stream through the
+    # prefix-partitioned LSM (see PARTITION_ROWS), which applies the -d
+    # prune + compaction during its order-preserving reassembly
+    n_part = 1 if init_cap <= 2 * PARTITION_ROWS else min(
+        16, 1 << max(1, (init_cap // PARTITION_ROWS - 1).bit_length()))
     table, n_reads = count_reads_to_table(
         read_batches(), k, max_len, init_capacity=init_cap,
         device_cache=batch_cache,
+        partitions=n_part, prune_d=d_cutoff,
     )
     table = shrink_table(table, k)
     if progress:
         log.info(
-            "count pass: %d reads -> %d kmers (%.1fs)",
+            "count pass: %d reads -> %d kmers (%.1fs%s)",
             n_reads, int(table.n), time.time() - t0,
+            f", {n_part} partitions" if n_part > 1 else "",
         )
 
     g = kg.from_table(table)
-    if d_cutoff > 0:
+    if d_cutoff > 0 and n_part == 1:
         g = kg.de_low_cov(g, jnp.int32(d_cutoff))
         # error-kmer singletons are typically 2/3 of the table: squeeze
         # them out so every later pass runs at live size, not capacity

@@ -2,6 +2,8 @@
 
 import collections
 
+from conftest import random_dna
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -245,3 +247,41 @@ def test_packed_transfer_interior_ns():
             rc = km.encode().translate(comp)[::-1].decode()
             truth[min(km, rc)] += 1
     assert int(table.n) == len(truth)
+
+
+def test_partitioned_count_matches_dense(rng):
+    """The prefix-partitioned LSM (HBM-bounded merges for tables past
+    PARTITION_ROWS) reassembles into exactly the dense path's pruned,
+    compacted table."""
+    import jax.numpy as jnp
+
+    from soapdenovo2_tpu.models import kmer_graph as kg
+
+    genome = random_dna(rng, 3000).encode()
+    reads = []
+    for i in range(0, 2500, 7):
+        reads.append(genome[i : i + 80])
+    reads.append(b"ACGT" * 20)  # a low-coverage stray for -d pruning
+    codes = np.full((len(reads), 80), kops.BASE_N, np.uint8)
+    lengths = np.zeros((len(reads),), np.int32)
+    for i, r in enumerate(reads):
+        lengths[i] = rio.encode_read(r, codes[i])
+    batch = rio.ReadBatch(codes=codes, lengths=lengths, n=len(reads),
+                          start_id=0)
+    K = 21
+    dense, _ = pg.count_reads_to_table(iter([batch]), K, 80)
+    g = kg.from_table(dense)
+    g = kg.de_low_cov(g, jnp.int32(1))
+    g = kg.compact_graph(g)
+    nl = int(jnp.sum((~g.deleted).astype(jnp.int32)))
+
+    part, _ = pg.count_reads_to_table(
+        iter([batch]), K, 80, partitions=4, prune_d=1)
+    np_ = int(part.n)
+    assert np_ == nl
+    assert np.array_equal(np.asarray(g.keys)[:nl],
+                          np.asarray(part.keys)[:np_])
+    assert np.array_equal(np.asarray(g.covs)[:nl],
+                          np.asarray(part.covs)[:np_])
+    # sentinel tail intact (lookups rely on it)
+    assert (np.asarray(part.keys)[np_:] == 0xFFFFFFFF).all()
