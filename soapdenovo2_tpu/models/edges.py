@@ -38,6 +38,22 @@ from . import kmer_graph as kg
 log = logging.getLogger("soapdenovo2_tpu.edges")
 
 
+def _interleave_1d(a, b):
+    """[a0, b0, a1, b1, ...] with 1-D ops only: a (C, 2) stack/reshape
+    materializes an (8,128)-tiled temp whose minor-dim padding is 64x —
+    32 GB at a 64M-row table (the 50 Mb OOM)."""
+    c = a.shape[0]
+    comb = jnp.concatenate([a, b])
+    sidx = jnp.arange(2 * c, dtype=jnp.int32)
+    return comb[(sidx >> 1) + (sidx & 1) * c]
+
+
+def _expand2_1d(a):
+    """jnp.repeat(a, 2) without the (C, 2) broadcast intermediate."""
+    sidx = jnp.arange(2 * a.shape[0], dtype=jnp.int32)
+    return a[sidx >> 1]
+
+
 def _pack_bits_dev(mask):
     """(N,) bool -> (ceil(N/32),) uint32, little-bit order (device)."""
     n = mask.shape[0]
@@ -118,13 +134,67 @@ def _edges_refresh(g: kg.PreGraph, k: int, pdir, psteps: int, pshift: int):
     return kg.refresh_links(g, k, pdir, psteps, pshift)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "psteps", "pshift"))
+SUCC_CHUNK = 1 << 24  # nodes per successor-sweep program
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "psteps", "pshift", "orient", "rows"))
+def _edges_succ_chunk(g: kg.PreGraph, k: int, pdir, psteps: int,
+                      pshift: int, orient: int, start, rows: int):
+    """Successor state for ONE orientation of a ``rows``-node slice.
+
+    Split per orientation AND chunked: the fused whole-table program's
+    live set (oriented-kmer registers, canonical pairs, the bisection
+    gathers) peaked at 34 GB against a 64M-row table at 50 Mb scale —
+    chunking bounds it at chunk/table ratio."""
+    w = g.keys.shape[1]
+    keys_c = jax.lax.dynamic_slice(g.keys, (start, 0), (rows, w))
+    covs_c = jax.lax.dynamic_slice(g.covs, (start, 0),
+                                   (rows, g.covs.shape[1]))
+    lin_c = jax.lax.dynamic_slice(g.linear, (start,), (rows,))
+    del_c = jax.lax.dynamic_slice(g.deleted, (start,), (rows,))
+    if orient == 0:
+        base = kg._unique_base(covs_c[:, 4:8])
+        cur = keys_c
+    else:
+        base = (3 - kg._unique_base(covs_c[:, 0:4])) & 3
+        cur = kops.reverse_complement(keys_c, k)
+    nxt = kops.shift_left_append(cur, base, k)
+    rc = kops.reverse_complement(nxt, k)
+    canon, is_rc = kops.canonical(nxt, rc)
+    if pdir is not None:
+        j = sc.lookup_kmers_dir(g.keys, canon, pdir, psteps, pshift)
+    else:
+        j = sc.lookup_kmers(g.keys, canon)
+    j = jnp.where((j >= 0) & ~g.deleted[jnp.maximum(j, 0)], j, -1)
+    oj = is_rc.astype(jnp.int32)
+    return jnp.where(lin_c & ~del_c & (j >= 0), j * 2 + oj, -1)
+
+
 def _edges_successors(g: kg.PreGraph, k: int, pdir, psteps: int,
                       pshift: int):
-    nxt_full, _ = kg.linear_next_states.__wrapped__(g, k, pdir, psteps,
-                                                    pshift)
-    on_chain = jnp.repeat(g.linear & ~g.deleted, 2)
-    nxt = jnp.where(on_chain, nxt_full, -1)
+    c = g.keys.shape[0]
+    chunk = min(c, SUCC_CHUNK)
+    halves = []
+    for orient in (0, 1):
+        parts = []
+        for start in range(0, c, chunk):
+            rows = min(chunk, c - start)
+            s = _edges_succ_chunk(g, k, pdir, psteps, pshift, orient,
+                                  jnp.int32(start), rows)
+            jax.block_until_ready(s)  # serialize program memory
+            parts.append(s)
+        halves.append(parts[0] if len(parts) == 1
+                      else jnp.concatenate(parts))
+    on_chain, nxt = _succ_combine(g.linear, g.deleted, halves[0],
+                                  halves[1])
+    return on_chain, nxt
+
+
+@jax.jit
+def _succ_combine(linear, deleted, s0, s1):
+    on_chain = _expand2_1d(linear & ~deleted)
+    nxt = jnp.where(on_chain, _interleave_1d(s0, s1), -1)
     return on_chain, nxt
 
 
@@ -156,15 +226,22 @@ def _edges_chain_inputs(g: kg.PreGraph, k: int):
 
 @jax.jit
 def _edges_masks(g: kg.PreGraph, labels):
-    """Device: bit-packed start/cycle masks given chain labels."""
+    """Device: bit-packed start/cycle masks given chain labels.
+
+    The flat (C*8,) mask [node-major, orient, base] is assembled with
+    1-D ops only — a (C, 2, 4) stack pads its minor dims to 128 lanes
+    under (8,128) tiling (16 GB at 64M rows)."""
+    c = g.keys.shape[0]
     branch = (~g.deleted) & (~g.linear)
-    right_cov = g.covs[:, 4:8] > 0  # orient 0 exits (u16 stays u16)
-    left_cov = g.covs[:, 0:4] > 0  # orient 1 exits via comp(base)
-    sm = jnp.stack(
-        [branch[:, None] & right_cov, branch[:, None] & left_cov[:, ::-1]],
-        axis=1,
-    )  # (C, 2, 4) — same layout as np.nonzero over (C, 2, 4)
-    start_packed = _pack_bits_dev(sm.reshape(-1))
+    cols = []
+    for o in range(2):
+        for b in range(4):
+            col = 4 + b if o == 0 else 3 - b  # left block is reversed
+            cols.append(branch & (g.covs[:, col] > 0))
+    comb = jnp.concatenate(cols)  # (8C,) grouped by (o, b)
+    fidx = jnp.arange(8 * c, dtype=jnp.int32)
+    flat = comb[(fidx & 7) * c + (fidx >> 3)]
+    start_packed = _pack_bits_dev(flat)
     cyc_packed = _pack_bits_dev(labels.is_cycle & labels.is_head)
     return start_packed, cyc_packed
 
@@ -242,7 +319,7 @@ def _edges_phase4(g: kg.PreGraph, state_edge, state_rank, seq_off_dev,
     C = g.keys.shape[0]
     lb = kops.last_base(g.keys).astype(jnp.int32)
     fb = kops.first_base(g.keys, k).astype(jnp.int32)
-    bases_state = jnp.stack([lb, 3 - fb], axis=1).reshape(-1)  # (S,)
+    bases_state = _interleave_1d(lb, 3 - fb)  # (S,)
     e_of = state_edge
     ok = e_of >= 0
     es = jnp.maximum(e_of, 0)
@@ -254,7 +331,7 @@ def _edges_phase4(g: kg.PreGraph, state_edge, state_rank, seq_off_dev,
     seq = seq.at[slot].set(bases_state.astype(jnp.uint8), mode="drop")
     # interior coverage: sum of left covs per edge (make_edge:586)
     covs = g.covs.astype(jnp.int32)
-    left_tot = jnp.repeat(covs[:, 0:4].sum(axis=1), 2)  # per state
+    left_tot = _expand2_1d(covs[:, 0:4].sum(axis=1))  # per state
     E_pad = edge_cycle_dev.shape[0]
     symbol = jax.ops.segment_sum(
         jnp.where(ok, left_tot, 0), jnp.where(ok, es, E_pad),

@@ -120,10 +120,16 @@ def count_reads_to_table(
         tables = [sc.empty_table(cap_p, k) for _ in range(P)]
         capacity = P * cap_p
         w0b = kops.top_word_bits(k)
-        lgP = (P - 1).bit_length()
+        # EQUAL-LOAD boundaries: canonical keys (min of kmer and its rc)
+        # have density ~2(1-x) over the word0 range, so equal-width
+        # partitions load linearly (measured 6.0M..0.4M across 8); the
+        # quantile of p/P sits at 1 - sqrt(1 - p/P)
+        fracs = 1.0 - np.sqrt(1.0 - np.arange(1, P) / P)
         bvals = jnp.asarray(
-            (np.arange(1, P, dtype=np.uint64)
-             << np.uint64(w0b - lgP)).astype(np.uint32)
+            np.minimum(
+                (fracs * float(1 << w0b)).astype(np.uint64),
+                (1 << w0b) - 1,
+            ).astype(np.uint32)
         )
         table = None
     else:
@@ -220,25 +226,43 @@ def count_reads_to_table(
             run_sizes = np.diff(bnp)
             need = int((part_n + run_sizes).max())
             if need > cap_p:
-                cap_p = _next_pow2(need * 2)
+                # modest headroom only: P resident tables make doubling
+                # ruinous (x2 growth at 18M live = 8 x 64M x 26 B = 13 GB
+                # resident, the 50 Mb ResourceExhausted)
+                cap_p = _next_pow2(int(need * 1.25))
                 tables = [sc.grow_table(t, cap_p) for t in tables]
                 capacity = P * cap_p
             # tight static run buffer: the merge network pads to the
             # combined pow2, so an rcap-sized operand would quadruple
             # every per-partition merge
             run_cap = _next_pow2(int(run_sizes.max()) + 1)
+            log.debug("partition flush: P=%d cap_p=%d run_cap=%d rcap=%d "
+                      "l1=%s runs=%s", P, cap_p, run_cap,
+                      l1.keys.shape[0], l1.keys.shape, run_sizes.tolist())
             for p in range(P):
                 if run_sizes[p] == 0:
                     continue
                 run_p = _slice_sorted_run(l1.keys, l1.covs,
                                           bounds[p], bounds[p + 1],
                                           run_cap)
-                tables[p] = sc.merge_sorted_tables(tables[p], run_p,
-                                                   cap_p)
-                # serialize the per-partition merges: async dispatch lets
-                # P merge workspaces go live at once, which is exactly
-                # the blow-up partitioning exists to avoid
-                jax.block_until_ready(tables[p].n)
+                # serialize the per-partition merges (async dispatch lets
+                # P merge workspaces go live at once) and retry transient
+                # remote-compile RESOURCE_EXHAUSTED: the compile helper
+                # fails sporadically under a loaded worker, succeeding on
+                # the same shape seconds later
+                for attempt in range(4):
+                    try:
+                        tables[p] = sc.merge_sorted_tables(
+                            tables[p], run_p, cap_p)
+                        jax.block_until_ready(tables[p].n)
+                        break
+                    except jax.errors.JaxRuntimeError as exc:
+                        if ("RESOURCE_EXHAUSTED" not in str(exc)
+                                or attempt == 3):
+                            raise
+                        log.warning("partition merge retry %d (%s)",
+                                    attempt + 1, str(exc)[:80])
+                        time.sleep(15 * (attempt + 1))
             part_n = np.asarray(
                 jnp.stack([t.n for t in tables])
             ).astype(np.int64)
@@ -261,6 +285,10 @@ def count_reads_to_table(
     for batch in batches:
         batch = batch.trimmed()
         flush_n[0] = min(32, max(8, (32 * 16384) // batch.codes.shape[0]))
+        if P > 1:
+            # halve the flush working set: the 34M-row reduce beside P
+            # resident partition tables was the 50 Mb runtime OOM
+            flush_n[0] = max(4, flush_n[0] // 2)
         dev = (ship(batch), batch.n)
         if in_flight is not None:
             thunk, n = in_flight

@@ -52,6 +52,19 @@ def _sparse_batch(codes, lengths, k: int, gap: int):
       edge_b0, edge_b1 (N,) uint32 packed bases,  edge_valid (N,)
           — an edge from the PREVIOUS selected k-mer to this one
     """
+    return _sparse_batch_core(codes, lengths, k, gap, None)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "gap"))
+def _sparse_batch_filtered(codes, lengths, fkeys, k: int, gap: int):
+    """Round-2 selection (build_graph.cpp process_round2_threaded_d
+    role): only k-mers in the round-1 survivor set ``fkeys`` compete as
+    minimizers, so error k-mers no longer displace true nodes or break
+    the node chain."""
+    return _sparse_batch_core(codes, lengths, k, gap, fkeys)
+
+
+def _sparse_batch_core(codes, lengths, k: int, gap: int, fkeys):
     out = kops.extract_kmers(codes, lengths, k)
     words = out["words"]  # (B, P, W)
     valid = out["valid"]
@@ -75,6 +88,22 @@ def _sparse_batch(codes, lengths, k: int, gap: int):
             return jnp.concatenate([x[:, off:], pad], axis=1)
         return jnp.concatenate([pad, x[:, :off]], axis=1)
 
+    if fkeys is not None:
+        member = sc.lookup_kmers(fkeys, words) >= 0
+        h = jnp.where(member, h, big)
+    # window-context validity must track READ bounds, not h==big: with a
+    # membership filter, non-member positions carry big by design and
+    # are globally consistent, so they may sit inside a window
+    vbit = valid.astype(jnp.uint8)
+
+    def shifted_v(x, off):
+        if off == 0:
+            return x
+        pad = jnp.zeros((B, abs(off)), x.dtype)
+        if off > 0:
+            return jnp.concatenate([x[:, off:], pad], axis=1)
+        return jnp.concatenate([pad, x[:, :off]], axis=1)
+
     w_int = gap
     dprev = jnp.full((B, P), w_int, jnp.int32)
     dnext = jnp.full((B, P), w_int, jnp.int32)
@@ -86,8 +115,10 @@ def _sparse_batch(codes, lengths, k: int, gap: int):
         hn = shifted(h, a)
         dprev = jnp.where((dprev == w_int) & (hp < h), a, dprev)
         dnext = jnp.where((dnext == w_int) & (hn < h), a, dnext)
-        ctx = ctx & (hp != big) & (hn != big)
+        ctx = ctx & (shifted_v(vbit, -a) == 1) & (shifted_v(vbit, a) == 1)
     selected = ctx & (dprev + dnext >= w_int + 1)
+    if fkeys is not None:
+        selected = selected & member
 
     # previous selected position per position (exclusive scan)
     pos = jnp.arange(P, dtype=jnp.int32)[None, :].repeat(B, axis=0)
@@ -195,11 +226,30 @@ class SparseGraph:
 
 def build_sparse_graph(
     batches: Iterable[rio.ReadBatch], k: int, gap: int = 15,
+    batches2=None, round1_cov: int = 2,
 ) -> SparseGraph:
-    """Single-pass sparse graph build (replaces the reference's two
-    rounds — deterministic selection needs no pre-population)."""
+    """Sparse graph build.  With ``batches2`` (a second pass over the
+    same reads), runs the reference's TWO-ROUND architecture
+    (build_graph.cpp round 1 count -> round 2 rebuild): round 1 selects
+    and counts candidate nodes; round 2 re-streams with selection
+    restricted to round-1 survivors (cov >= round1_cov), so error
+    k-mers — overwhelmingly cov-1 — no longer displace true nodes or
+    sit as chain-breaking gaps.  Without batches2, single-round."""
     kops.validate_k(k)
     gap = min(gap, MAX_GAP)
+    filter_keys = None
+    if batches2 is not None:
+        g1 = build_sparse_graph(batches, k, gap)
+        keep = g1.node_cov >= round1_cov
+        if keep.any():
+            filter_keys = jnp.asarray(g1.node_words[keep])
+            log.info(
+                "sparse round 1: %d candidates -> %d survivors (cov>=%d)",
+                g1.node_words.shape[0], int(keep.sum()), round1_cov,
+            )
+            batches = batches2
+        else:
+            filter_keys = None  # degenerate input: keep round-1 graph
     node_keys: List[np.ndarray] = []
     node_cnts: List[np.ndarray] = []
     edge_rows: List[np.ndarray] = []
@@ -237,9 +287,16 @@ def build_sparse_graph(
     COMPACT_ROWS = 4 << 20
     pending_rows = 0
     for batch in batches:
-        outb = _sparse_batch(
-            jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k, gap
-        )
+        if filter_keys is not None:
+            outb = _sparse_batch_filtered(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                filter_keys, k, gap,
+            )
+        else:
+            outb = _sparse_batch(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                k, gap,
+            )
         nv = np.asarray(outb["node_valid"])
         nw = np.asarray(outb["node_words"])[nv]
         node_keys.append(nw)
@@ -452,7 +509,8 @@ def run_sparse_pregraph(
 
     if run_mode in (0, 2):
         g = build_sparse_graph(
-            rio.batch_reads(stream(), batch_size, cfg.max_rd_len), k, gap
+            rio.batch_reads(stream(), batch_size, cfg.max_rd_len), k, gap,
+            batches2=rio.batch_reads(stream(), batch_size, cfg.max_rd_len),
         )
         if progress:
             log.info(

@@ -182,14 +182,16 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
     )
 
 
-# optional host-CPU escape hatch for the label pass (numpy mirror below).
-# Disabled by default: the r3 "kernel fault" suspected here turned out to
-# live in the (then-fused) edges program — the device label core runs
-# clean at 33M states — and routing labels through the host costs a
-# 132 MB download plus ~630 MB of re-uploads into the apply step per
-# sweep over the ~20 MB/s tunnel.
+# host-CPU escape hatch for the label pass (numpy mirror below).
+# The device label core runs clean at 33M states, but at 128M states
+# (50 Mb scale) the while_loop gather program faults the TPU worker —
+# past the threshold the pass runs in numpy (download nxt/on_chain,
+# label, upload label arrays).  Costs ~3-4 min at 128M states over the
+# ~20 MB/s tunnel; the real answer at this scale is the multi-chip
+# sharded labeler (parallel/shard_graph.py), which has no single-chip
+# program of this size.
 LABEL_HOST_THRESHOLD = int(
-    __import__("os").environ.get("SOAP_TPU_LABEL_HOST_THRESHOLD", 1 << 62)
+    __import__("os").environ.get("SOAP_TPU_LABEL_HOST_THRESHOLD", 1 << 27)
 )
 
 
