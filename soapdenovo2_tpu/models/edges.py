@@ -225,8 +225,11 @@ def _edges_chain_inputs(g: kg.PreGraph, k: int):
 
 
 @jax.jit
-def _edges_masks(g: kg.PreGraph, labels):
-    """Device: bit-packed start/cycle masks given chain labels.
+def _edges_masks(g: kg.PreGraph, cyc_head):
+    """Device: bit-packed start/cycle masks given the cycle-head flag
+    (NOT the whole labels pytree: when labels were computed on the host
+    past LABEL_HOST_THRESHOLD, passing the pytree would upload ~3.5 GB
+    of S-sized arrays this program never reads).
 
     The flat (C*8,) mask [node-major, orient, base] is assembled with
     1-D ops only — a (C, 2, 4) stack pads its minor dims to 128 lanes
@@ -242,7 +245,7 @@ def _edges_masks(g: kg.PreGraph, labels):
     fidx = jnp.arange(8 * c, dtype=jnp.int32)
     flat = comb[(fidx & 7) * c + (fidx >> 3)]
     start_packed = _pack_bits_dev(flat)
-    cyc_packed = _pack_bits_dev(labels.is_cycle & labels.is_head)
+    cyc_packed = _pack_bits_dev(cyc_head)
     return start_packed, cyc_packed
 
 
@@ -256,45 +259,60 @@ def _edges_phase1(g: kg.PreGraph, k: int):
     states; tails are now the pure gather head[h^1]^1 in phase 2."""
     g, on_chain, nxt = _edges_chain_inputs(g, k)
     labels = chain_ops.label_chains_host(on_chain, nxt)
-    start_packed, cyc_packed = _edges_masks(g, labels)
+    start_packed, cyc_packed = _edges_masks(
+        g, labels.is_cycle & labels.is_head)
     return g, labels, start_packed, cyc_packed
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _edges_phase2(g: kg.PreGraph, labels, s_node, s_orient,
-                  s_base, valid, k: int):
-    """Device phase 2: per-start first hop + chain info (E-sized)."""
-    S = 2 * g.keys.shape[0]
+def _edges_phase2a(g: kg.PreGraph, s_node, s_orient, s_base, valid,
+                   k: int):
+    """Device phase 2a: per-start first hop (lookup only)."""
     sn = jnp.maximum(s_node, 0)
     j, oj = kg.next_of(g, sn, s_orient, s_base.astype(jnp.uint32), k)
     j = jnp.where(valid, j, -1)
-    js = jnp.maximum(j, 0)
     first_state = j * 2 + oj
-    fs_safe = jnp.clip(first_state, 0, S - 1)
-    target_linear = g.linear[js] & ~g.deleted[js] & (j >= 0)
+    target_linear = g.linear[jnp.maximum(j, 0)] \
+        & ~g.deleted[jnp.maximum(j, 0)] & (j >= 0)
+    return j, first_state, target_linear
+
+
+def _phase2_label_consult(labels, first_state, target_linear, s_node,
+                          s_orient, S: int):
+    """Chain info per start from the label arrays.  Runs in numpy when
+    the labels live on the host (past LABEL_HOST_THRESHOLD) — E-scale
+    gathers against S-scale arrays, so shipping the arrays to the device
+    would cost far more than the gathers."""
+    xp = np if isinstance(labels.head, np.ndarray) else jnp
+    fs_safe = xp.clip(first_state, 0, S - 1)
     chain_start = target_linear & labels.on_chain[fs_safe]
-    chs = jnp.clip(jnp.where(chain_start, first_state, 0), 0, S - 1)
-    ch_len = jnp.where(chain_start, labels.length[chs], 0)
-    ch_attach = jnp.where(chain_start, labels.attach[chs], -1)
-    term_state = jnp.where(chain_start, ch_attach, first_state)
-    # previous-state (tail) info for twin pairing: the flip-mirror of a
-    # chain [h..t] is [t^1..h^1], so tail(h) = head[h^1] ^ 1 (pure gather)
-    tail_state = jnp.where(
+    chs = xp.clip(xp.where(chain_start, first_state, 0), 0, S - 1)
+    ch_len = xp.where(chain_start, labels.length[chs], 0)
+    ch_attach = xp.where(chain_start, labels.attach[chs], -1)
+    term_state = xp.where(chain_start, ch_attach, first_state)
+    # tail via the flip-mirror identity: tail(h) = head[h^1] ^ 1
+    tail_state = xp.where(
         chain_start, labels.head[chs ^ 1] ^ 1, s_node * 2 + s_orient
     )
+    return chain_start, ch_len, term_state, tail_state
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _edges_phase2b(g: kg.PreGraph, s_node, s_orient, term_state,
+                   tail_state, k: int):
+    """Device phase 2b: oriented k-mers/bases at the start/tail/term
+    nodes (E-sized gathers over the device-resident key table)."""
+    sn = jnp.maximum(s_node, 0)
     ts = jnp.maximum(tail_state, 0)
     pw = g.keys[ts >> 1]
     pfirst = _oriented_first_base(pw, ts & 1, k).astype(jnp.int32)
-    # oriented first k-mer of the edge
     fw = g.keys[sn]
     fk_rc = kops.reverse_complement(fw, k)
     first_kmer = jnp.where((s_orient == 1)[:, None], fk_rc, fw)
-    # oriented last base of the terminal state
     tss = jnp.maximum(term_state, 0)
     tw = g.keys[tss >> 1]
     tbase = _oriented_last_base(tw, tss & 1, k)
-    return (j, first_state, chain_start, ch_len, term_state, pfirst,
-            first_kmer, tbase)
+    return pfirst, first_kmer, tbase
 
 
 @jax.jit
@@ -368,12 +386,36 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         so_p = np.concatenate([s_orient, np.zeros((pad,), np.int32)])
         sb_p = np.concatenate([s_base, np.zeros((pad,), np.int32)])
         vl_p = np.concatenate([np.ones((nstarts,), bool), np.zeros((pad,), bool)])
-        (j, first_state, chain_start, ch_len, term_state, pfirst,
-         first_kmer_d, tbase_d) = _edges_phase2(
-            g, labels, jnp.asarray(sn_p), jnp.asarray(so_p),
-            jnp.asarray(sb_p), jnp.asarray(vl_p), k,
+        host_labels = isinstance(labels.head, np.ndarray)
+        j_d, fs_d, tl_d = _edges_phase2a(
+            g, jnp.asarray(sn_p), jnp.asarray(so_p), jnp.asarray(sb_p),
+            jnp.asarray(vl_p), k,
         )
-        j = np.asarray(j)[:nstarts]
+        if host_labels:
+            # E-scale label gathers run where the labels live
+            j = np.asarray(j_d)
+            first_state = np.asarray(fs_d)
+            target_linear = np.asarray(tl_d)
+            chain_start, ch_len, term_state, tail_state = \
+                _phase2_label_consult(labels, first_state, target_linear,
+                                      sn_p, so_p, S)
+        else:
+            chain_start, ch_len, term_state, tail_state = \
+                _phase2_label_consult(labels, fs_d, tl_d,
+                                      jnp.asarray(sn_p),
+                                      jnp.asarray(so_p), S)
+            j = np.asarray(j_d)
+            first_state = np.asarray(fs_d)
+            chain_start = np.asarray(chain_start)
+            ch_len = np.asarray(ch_len)
+            term_state = np.asarray(term_state)
+            tail_state = np.asarray(tail_state)
+        pfirst, first_kmer_d, tbase_d = _edges_phase2b(
+            g, jnp.asarray(sn_p), jnp.asarray(so_p),
+            jnp.asarray(np.asarray(term_state)),
+            jnp.asarray(np.asarray(tail_state)), k,
+        )
+        j = j[:nstarts]
         first_state = np.asarray(first_state)[:nstarts]
         chain_start = np.asarray(chain_start)[:nstarts]
         ch_len = np.asarray(ch_len)[:nstarts]
@@ -436,9 +478,12 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
         edge_to_orient[nstarts:] = cyc_heads & 1
         edge_chain_head[nstarts:] = cyc_heads
         # one base per member state
-        edge_len[nstarts:] = np.asarray(
-            jnp.take(labels.length, jnp.asarray(cyc_heads))
-        )
+        if isinstance(labels.length, np.ndarray):
+            edge_len[nstarts:] = labels.length[cyc_heads]
+        else:
+            edge_len[nstarts:] = np.asarray(
+                jnp.take(labels.length, jnp.asarray(cyc_heads))
+            )
         edge_cycle[nstarts:] = True
 
     # per-state annotations (interior k-mers), on device — they stay there
@@ -447,9 +492,23 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     e_pad2 = _next_pow2(E)
     ch_pad = np.full((e_pad2,), -1, np.int32)
     ch_pad[:E] = edge_chain_head
-    state_edge, state_rank = _edges_phase3(
-        labels, jnp.asarray(ch_pad), jnp.arange(e_pad2, dtype=jnp.int32),
-    )
+    if isinstance(labels.head, np.ndarray):
+        # host labels: compute the S-sized annotations in numpy and
+        # upload just the two arrays the arc pass needs
+        head_to_edge = np.full((S + 1,), -1, np.int32)
+        hsel = ch_pad[:E] >= 0
+        head_to_edge[ch_pad[:E][hsel]] = \
+            np.arange(E, dtype=np.int32)[hsel]
+        se_np = np.where(labels.on_chain,
+                         head_to_edge[np.maximum(labels.head, 0)], -1)
+        sr_np = np.where(se_np >= 0, labels.rank, 0).astype(np.int32)
+        state_edge = jnp.asarray(se_np.astype(np.int32))
+        state_rank = jnp.asarray(sr_np)
+    else:
+        state_edge, state_rank = _edges_phase3(
+            labels, jnp.asarray(ch_pad),
+            jnp.arange(e_pad2, dtype=jnp.int32),
+        )
 
     # ------------------------------------------------------------------
     # sequence materialization (device scatter, one download of the bases)
@@ -516,9 +575,12 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     if ncyc:
         # mirrored cycle: head of the flipped state's chain (edge ids of
         # cycle heads are their position after the starts)
-        mirror_head = np.asarray(
-            jnp.take(labels.head, jnp.asarray(cyc_heads ^ 1))
-        )
+        if isinstance(labels.head, np.ndarray):
+            mirror_head = labels.head[cyc_heads ^ 1]
+        else:
+            mirror_head = np.asarray(
+                jnp.take(labels.head, jnp.asarray(cyc_heads ^ 1))
+            )
         h2e = {int(h): nstarts + i for i, h in enumerate(cyc_heads)}
         twin[nstarts:] = np.array(
             [h2e.get(int(h), -1) for h in mirror_head], np.int32

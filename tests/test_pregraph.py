@@ -285,3 +285,36 @@ def test_partitioned_count_matches_dense(rng):
                           np.asarray(part.covs)[:np_])
     # sentinel tail intact (lookups rely on it)
     assert (np.asarray(part.keys)[np_:] == 0xFFFFFFFF).all()
+
+
+def test_build_edges_host_label_path(rng, monkeypatch):
+    """The >2^27-state fallback (labels + phase2/3 label consumption on
+    the host) must produce the same edges as the device path."""
+    from soapdenovo2_tpu.ops import chains as chain_ops
+
+    genome = random_dna(rng, 4000).encode()
+    reads = [genome[i : i + 80] for i in range(0, 3900, 6)]
+    codes = np.full((len(reads), 80), kops.BASE_N, np.uint8)
+    lengths = np.zeros((len(reads),), np.int32)
+    for i, r in enumerate(reads):
+        lengths[i] = rio.encode_read(r, codes[i])
+    batch = rio.ReadBatch(codes=codes, lengths=lengths, n=len(reads),
+                          start_id=0)
+    K = 21
+
+    def build():
+        table, _ = pg.count_reads_to_table(iter([batch]), K, 80)
+        g = kg.mark_linear(kg.from_table(table))
+        return edge_mod.build_edges(g, K)
+
+    eg_dev = build()
+    monkeypatch.setattr(chain_ops, "LABEL_HOST_THRESHOLD", 1)
+    eg_host = build()
+    assert eg_dev.n_edges == eg_host.n_edges
+    for e in range(eg_dev.n_edges):
+        assert eg_dev.edge_string(e) == eg_host.edge_string(e)
+        assert int(eg_dev.twin[e]) == int(eg_host.twin[e])
+    assert np.array_equal(np.asarray(eg_dev.state_edge),
+                          np.asarray(eg_host.state_edge))
+    assert np.array_equal(np.asarray(eg_dev.state_rank),
+                          np.asarray(eg_host.state_rank))
