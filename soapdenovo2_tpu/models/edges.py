@@ -224,29 +224,40 @@ def _edges_chain_inputs(g: kg.PreGraph, k: int):
     return g, on_chain, nxt
 
 
-@jax.jit
-def _edges_masks(g: kg.PreGraph, cyc_head):
-    """Device: bit-packed start/cycle masks given the cycle-head flag
-    (NOT the whole labels pytree: when labels were computed on the host
-    past LABEL_HOST_THRESHOLD, passing the pytree would upload ~3.5 GB
-    of S-sized arrays this program never reads).
-
-    The flat (C*8,) mask [node-major, orient, base] is assembled with
-    1-D ops only — a (C, 2, 4) stack pads its minor dims to 128 lanes
-    under (8,128) tiling (16 GB at 64M rows)."""
-    c = g.keys.shape[0]
+@functools.partial(jax.jit, static_argnames=("col",))
+def _edges_start_col(g: kg.PreGraph, col: int):
+    """Bit-packed (branch & covs[:, col] > 0) — one (C,)-sized program
+    per cov column.  The former single program materialized (8C,)-sized
+    iota/gather temps (2 GB each at a 64M-row table) beside the resident
+    graph."""
     branch = (~g.deleted) & (~g.linear)
-    cols = []
+    return _pack_bits_dev(branch & (g.covs[:, col] > 0))
+
+
+@jax.jit
+def _edges_cyc_mask(cyc_head):
+    return _pack_bits_dev(cyc_head)
+
+
+def _edges_masks(g: kg.PreGraph, cyc_head):
+    """Bit-packed start/cycle masks; the start mask is assembled on the
+    HOST from eight per-column packed downloads (8 x C/8 bytes), never
+    materializing an (8C,)-sized device array."""
+    c = g.keys.shape[0]
+    cols_np = []
     for o in range(2):
         for b in range(4):
             col = 4 + b if o == 0 else 3 - b  # left block is reversed
-            cols.append(branch & (g.covs[:, col] > 0))
-    comb = jnp.concatenate(cols)  # (8C,) grouped by (o, b)
-    fidx = jnp.arange(8 * c, dtype=jnp.int32)
-    flat = comb[(fidx & 7) * c + (fidx >> 3)]
-    start_packed = _pack_bits_dev(flat)
-    cyc_packed = _pack_bits_dev(cyc_head)
-    return start_packed, cyc_packed
+            packed = _edges_start_col(g, col)
+            cols_np.append(_unpack_bits_np(np.asarray(packed), c))
+    flat = np.zeros((8 * c,), bool)
+    i = 0
+    for o in range(2):
+        for b in range(4):
+            flat[o * 4 + b :: 8] = cols_np[i]
+            i += 1
+    cyc_packed = _edges_cyc_mask(cyc_head)
+    return flat, cyc_packed
 
 
 def _edges_phase1(g: kg.PreGraph, k: int):
@@ -372,8 +383,7 @@ def build_edges(g: kg.PreGraph, k: int) -> EdgeGraph:
     # ------------------------------------------------------------------
     # enumerate starts: (branch node, orient, exit base) with side cov > 0
     # ------------------------------------------------------------------
-    start_mask = _unpack_bits_np(np.asarray(start_packed), C * 8)
-    flat = np.nonzero(start_mask)[0].astype(np.int64)
+    flat = np.nonzero(start_packed)[0].astype(np.int64)  # host bool mask
     s_node = (flat >> 3).astype(np.int32)
     s_orient = ((flat >> 2) & 1).astype(np.int32)
     s_base = (flat & 3).astype(np.int32)
