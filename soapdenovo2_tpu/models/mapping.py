@@ -93,6 +93,11 @@ def build_contig_index(contig_seqs: List[str], k: int,
             maxlen = new_max
             rows.append(order[i0])
             i0 += 1
+        # pow2-bucketed width: long contigs otherwise give every batch a
+        # distinct shape, and each fresh shape is a 10-25 s compile
+        # through the remote tunnel (the 50 Mb index build spent 270 s
+        # compiling 82 one-contig shapes)
+        maxlen = _pow2(maxlen, lo=256)
         codes = np.full((len(rows), maxlen), kops.BASE_N, np.uint8)
         lengths = np.zeros((len(rows),), np.int32)
         for r, t in enumerate(rows):
