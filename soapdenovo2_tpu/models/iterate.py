@@ -56,12 +56,19 @@ OVERLAP = 160  # > max k (127) + headroom so adjacencies survive chopping
 
 
 def _contig_windows(contigs: List[str]) -> Iterator[bytes]:
+    # each window emitted TWICE: every contig k-mer then has cov >= 2,
+    # so the per-level -d 1 prune (below) kills junction-READ error
+    # k-mers (cov 1) without touching contig sequence — at 1 Mb scale
+    # unpruned read errors at k'=43 turned 80% of the rebuilt assembly
+    # chimeric
     for s in contigs:
         if len(s) <= WINDOW:
+            yield s.encode()
             yield s.encode()
             continue
         step = WINDOW - OVERLAP
         for off in range(0, len(s) - OVERLAP, step):
+            yield s[off : off + WINDOW].encode()
             yield s[off : off + WINDOW].encode()
 
 
@@ -163,8 +170,12 @@ def run_iterate(
         from . import kmer_graph as kg
 
         g = kg.from_table(table)
-        # contigs are already cleaned: no -d re-pruning past level 0
-        # (their coverage-1 k-mers are real sequence)
+        if d_cutoff > 0:
+            # junction reads are RAW reads: their error k-mers (cov 1)
+            # must not become nodes at k'.  Contig windows are emitted
+            # twice, so real sequence always has cov >= 2.
+            g = kg.de_low_cov(g, jnp.int32(min(d_cutoff, 1)))
+            g = kg.compact_graph(g)
         g = kg.mark_linear(g)
         g, _ = kg.remove_single_tips(g, k2)
         g, _ = kg.remove_minor_tips(g, k2)
