@@ -542,6 +542,20 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _warmup_key(args) -> str:
+    """Manifest key: the params that determine the traced program shapes
+    (k, batch width, table pre-size) plus the subcommand and backend."""
+    from .utils import warmup
+
+    p = {}
+    for name, tag in (("kmer", "K"), ("batch_size", "b"),
+                      ("genome_size", "z"), ("map_kmer", "mk")):
+        v = getattr(args, name, None)
+        if v:
+            p[tag] = v
+    return warmup.manifest_key(args.cmd, **p)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(
         level=logging.INFO,
@@ -550,6 +564,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     _enable_compile_cache()
     args = build_parser().parse_args(argv)
+    from .utils import warmup
+
+    wkey = _warmup_key(args)
+    warmup.begin(wkey)
     if args.cmd == "pregraph":
         cmd_pregraph(args)
     elif args.cmd == "contig":
@@ -564,6 +582,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         cmd_fusion(args)
     elif args.cmd == "all":
         cmd_all(args)
+    warmup.finish(wkey)
     return 0
 
 

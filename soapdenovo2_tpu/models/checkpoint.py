@@ -72,10 +72,14 @@ def write_pregraph(prefix: str, pre: pg.PregraphResult,
     if pre.branch_keys is not None:
         keys = pre.branch_keys
     else:
-        lin = np.asarray(pre.graph.linear)
-        dele = np.asarray(pre.graph.deleted)
-        branch = ~lin & ~dele
-        keys = np.asarray(pre.graph.keys)[branch]
+        from . import kmer_graph as kg
+
+        g = pre.graph
+        nb = int(kg.branch_count(g.linear, g.deleted))
+        cap = 1 << max(nb - 1, 0).bit_length() if nb else 1
+        keys = np.asarray(
+            kg.branch_keys_compact(g.keys, g.linear, g.deleted, cap)
+        )[:nb]
     n_vertex = fio.write_vertex(prefix, keys, k)
     # edges
     reps, dir_to_file = edge_file_order(eg)

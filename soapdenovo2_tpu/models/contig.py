@@ -950,6 +950,7 @@ def tour_bus_native(g: ContigGraph, similarity: float = 0.90, M: int = 1,
             pos += 1
         arc_ptr[e + 1] = pos
     out_cap = 2 * n_arc + 16
+    snp_cap = max(int(seq_off[-1]) // 16, 1024)
     while True:
         # fresh copies of the in/out arrays each attempt: the core
         # mutates them in place, so an output-buffer overflow retry must
@@ -964,7 +965,6 @@ def tour_bus_native(g: ContigGraph, similarity: float = 0.90, M: int = 1,
         bub_cap = E + 1
         bub_keep = np.zeros((bub_cap,), np.int64)
         bub_del = np.zeros((bub_cap,), np.int64)
-        snp_cap = max(int(seq_off[-1]) // 16, 1024)
         snp_ptr = np.zeros((bub_cap + 1,), np.int64)
         snp_pos = np.zeros((snp_cap,), np.int64)
         counts = np.zeros((4,), np.int64)
@@ -981,6 +981,11 @@ def tour_bus_native(g: ContigGraph, similarity: float = 0.90, M: int = 1,
         )
         if rc == -1:
             out_cap *= 2
+            continue
+        if rc == -2:
+            # bubble/SNP output overflow (distinct code so only these
+            # buffers grow) — retry, never silently truncate records
+            snp_cap *= 2
             continue
         break
     g.deleted = deleted.astype(bool)

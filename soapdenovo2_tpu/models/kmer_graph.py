@@ -547,3 +547,22 @@ def refresh_links(g: PreGraph, k: int, pdir=None, psteps: int = 0,
     covs = jnp.where(g.deleted[:, None], 0, covs)
     g2 = g._replace(covs=covs.astype(jnp.uint16))
     return mark_linear(g2)
+
+
+@jax.jit
+def branch_count(linear, deleted):
+    """Number of branch (non-linear, non-deleted) vertices."""
+    return jnp.sum(~linear & ~deleted)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def branch_keys_compact(keys, linear, deleted, cap: int):
+    """Gather the branch vertices' keys into a (cap, W) array on device
+    so the checkpoint downloads only E-scale rows, not the full table
+    (the table download cost ~0.8 s per checkpoint at 2 Mb and scales
+    with capacity; output_pregraph.c:48 likewise writes only branch
+    kmers)."""
+    branch = ~linear & ~deleted
+    idx = jnp.nonzero(branch, size=cap, fill_value=0)[0]
+    ok = jnp.arange(cap) < jnp.sum(branch)
+    return jnp.where(ok[:, None], keys[idx], jnp.uint32(0))

@@ -185,11 +185,32 @@ def _map_batch_packed(packed, lengths, n_rows, n_cols, L, k,
                       align_len: int = ALIGN_LEN, half_rule: bool = False,
                       pdir=None, pdir_steps: int = 0, pdir_shift: int = 0):
     codes = kops.unpack_codes(packed, lengths, L, n_rows, n_cols)
-    return _map_batch.__wrapped__(
+    ctg, position, mapped, multi = _map_batch.__wrapped__(
         codes, lengths, k, keys, cid, pos, flip, ctg_len,
         align_len=align_len, half_rule=half_rule,
         pdir=pdir, pdir_steps=pdir_steps, pdir_shift=pdir_shift,
     )
+    # ONE packed output array: the tunnel charges ~0.1 s latency per
+    # device->host transfer; four per batch was ~2.8 s of the 2 Mb map
+    return jnp.stack([ctg.astype(jnp.int32), position,
+                      mapped.astype(jnp.int32), multi.astype(jnp.int32)])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "align_len", "half_rule", "pdir_steps", "pdir_shift"))
+def _map_batch_stack(codes, lengths, k, keys, cid, pos, flip, ctg_len,
+                     align_len: int = ALIGN_LEN, half_rule: bool = False,
+                     pdir=None, pdir_steps: int = 0, pdir_shift: int = 0):
+    """_map_batch with the four outputs stacked into one (4, B) i32
+    array — a single device->host transfer per batch (see
+    _map_batch_packed note)."""
+    ctg, position, mapped, multi = _map_batch.__wrapped__(
+        codes, lengths, k, keys, cid, pos, flip, ctg_len,
+        align_len=align_len, half_rule=half_rule,
+        pdir=pdir, pdir_steps=pdir_steps, pdir_shift=pdir_shift,
+    )
+    return jnp.stack([ctg.astype(jnp.int32), position,
+                      mapped.astype(jnp.int32), multi.astype(jnp.int32)])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -384,11 +405,18 @@ def map_reads(
 
     def consume(batch, dev_out):
         nonlocal n_reads
-        ctg, position, mapped, multi_ctg = dev_out
-        ctg = np.asarray(ctg)[: batch.n]
-        position = np.asarray(position)[: batch.n]
-        mapped_np = np.asarray(mapped)[: batch.n]
-        multi_np = np.asarray(multi_ctg)[: batch.n]
+        if isinstance(dev_out, tuple):  # sharded mapper: 4 device arrays
+            ctg, position, mapped, multi_ctg = dev_out
+            ctg = np.asarray(ctg)[: batch.n]
+            position = np.asarray(position)[: batch.n]
+            mapped_np = np.asarray(mapped)[: batch.n].astype(bool)
+            multi_np = np.asarray(multi_ctg)[: batch.n].astype(bool)
+        else:  # single-device: one packed (4, B) i32 download
+            out = np.asarray(dev_out)
+            ctg = out[0, : batch.n]
+            position = out[1, : batch.n]
+            mapped_np = out[2, : batch.n].astype(bool)
+            multi_np = out[3, : batch.n].astype(bool)
         ids = batch.start_id + np.arange(batch.n, dtype=np.int64)
         sel = mapped_np
         rid_list.append(ids[sel])
@@ -452,7 +480,7 @@ def map_reads(
         else:
             pi = kops.pack_codes_host(batch.codes, batch.lengths)
             if pi is None:
-                dev = _map_batch(
+                dev = _map_batch_stack(
                     jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                     index.k, keys, cid, pos_a, flip, clen,
                     align_len=align_len, half_rule=half_rule,
@@ -470,6 +498,13 @@ def map_reads(
                     pdir=pdir_dev, pdir_steps=index.pdir_steps,
                     pdir_shift=index.pdir_shift,
                 )
+        # start the device->host copy as soon as compute finishes, so
+        # the transfer of batch i overlaps batch i+1's compute
+        try:
+            for leaf in (dev if isinstance(dev, tuple) else (dev,)):
+                leaf.copy_to_host_async()
+        except AttributeError:
+            pass
         if in_flight is not None:
             consume(*in_flight)
         in_flight = (batch, dev)

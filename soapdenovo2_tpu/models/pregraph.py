@@ -257,12 +257,19 @@ def count_reads_to_table(
                         jax.block_until_ready(tables[p].n)
                         break
                     except jax.errors.JaxRuntimeError as exc:
-                        if ("RESOURCE_EXHAUSTED" not in str(exc)
-                                or attempt == 3):
+                        # Only the remote-COMPILE service flakes are
+                        # transient; a run-time HBM OOM at this shape is
+                        # deterministic and must fail fast, not stall
+                        # 90 s+.  The compile-service failures carry
+                        # compile/compilation markers in their text.
+                        msg = str(exc)
+                        transient = ("RESOURCE_EXHAUSTED" in msg and
+                                     ("ompil" in msg or "XLA" in msg))
+                        if not transient or attempt == 3:
                             raise
                         log.warning("partition merge retry %d (%s)",
-                                    attempt + 1, str(exc)[:80])
-                        time.sleep(15 * (attempt + 1))
+                                    attempt + 1, msg[:80])
+                        time.sleep(5 * (attempt + 1))
             part_n = np.asarray(
                 jnp.stack([t.n for t in tables])
             ).astype(np.int64)

@@ -249,7 +249,11 @@ def build_sparse_graph(
             )
             batches = batches2
         else:
-            filter_keys = None  # degenerate input: keep round-1 graph
+            # Degenerate input (no candidate reached round1_cov): the
+            # round-1 graph IS the best available answer, and `batches`
+            # may be a consumed one-shot iterator — rebuilding from it
+            # would silently return an empty graph.
+            return g1
     node_keys: List[np.ndarray] = []
     node_cnts: List[np.ndarray] = []
     edge_rows: List[np.ndarray] = []

@@ -488,15 +488,19 @@ int64_t contig_tour_bus(
     }
     out_arc_ptr[e + 1] = pos;
   }
-  int64_t nb = std::min<int64_t>((int64_t)tb.bubbles.size(), bub_cap);
+  // Bubble/SNP overflow uses the same retry protocol as the arc CSR
+  // (distinct code -2 so the wrapper can grow just these buffers): a
+  // silent min()/drop would lose *.bubbleSNP records on SNP-dense
+  // diploid graphs without any warning.
+  int64_t nb = (int64_t)tb.bubbles.size();
+  if (nb > bub_cap) return -2;
   int64_t sp = 0;
   out_snp_ptr[0] = 0;
   for (int64_t i = 0; i < nb; ++i) {
     out_bub_keep[i] = tb.bubbles[i].keep;
     out_bub_del[i] = tb.bubbles[i].del;
-    for (int64_t p : tb.bubbles[i].snps) {
-      if (sp < snp_cap) out_snp_pos[sp++] = p;
-    }
+    if (sp + (int64_t)tb.bubbles[i].snps.size() > snp_cap) return -2;
+    for (int64_t p : tb.bubbles[i].snps) out_snp_pos[sp++] = p;
     out_snp_ptr[i + 1] = sp;
   }
   out_counts[0] = merged;

@@ -677,10 +677,17 @@ def build_prefix_dir_device(keys, k: int, bits: int = 20):
     shift = w0_bits - eff
     nb = 1 << eff
     directory = _prefix_dir_device(keys, shift, nb)
-    d_np = np.asarray(directory)
-    max_bucket = int(np.diff(d_np).max()) if keys.shape[0] else 1
+    # scalar readback only: downloading the 4 MB directory to derive one
+    # number cost ~0.5 s/call through the tunnel
+    max_bucket = (int(_dir_max_bucket(directory))
+                  if keys.shape[0] else 1)
     steps = max(1, max_bucket.bit_length())
     return directory, steps, shift
+
+
+@jax.jit
+def _dir_max_bucket(directory):
+    return jnp.max(jnp.diff(directory))
 
 
 def lookup_kmers_dir(table_keys, queries, directory, steps: int,
