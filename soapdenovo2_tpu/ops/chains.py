@@ -182,17 +182,147 @@ def label_chains(on_chain_state, nxt) -> ChainLabels:
     )
 
 
-# host-CPU escape hatch for the label pass (numpy mirror below).
-# The device label core runs clean at 33M states, but at 128M states
-# (50 Mb scale) the while_loop gather program faults the TPU worker —
-# past the threshold the pass runs in numpy (download nxt/on_chain,
-# label, upload label arrays).  Costs ~3-4 min at 128M states over the
-# ~20 MB/s tunnel; the real answer at this scale is the multi-chip
-# sharded labeler (parallel/shard_graph.py), which has no single-chip
-# program of this size.
-LABEL_HOST_THRESHOLD = int(
-    __import__("os").environ.get("SOAP_TPU_LABEL_HOST_THRESHOLD", 1 << 27)
+# Past this size the single fused label program is replaced by the
+# HOST-STEPPED staged path (below): same math, but each doubling round
+# is its own small XLA program with donated buffers, so peak HBM per
+# program is ~4 arrays instead of the fused while_loop's whole live set
+# (the fused program faulted the tunneled worker at 128M states; its
+# co-allocated cond/body buffers put it within double-buffer distance
+# of the 16 GB ceiling).  One scalar early-exit readback per round.
+LABEL_STAGED_THRESHOLD = int(
+    __import__("os").environ.get("SOAP_TPU_LABEL_STAGED_THRESHOLD", 1 << 25)
 )
+
+# numpy escape hatch (download nxt/on_chain, label on host, ~4 min at
+# 128M states over the tunnel).  Default off — the staged device path
+# replaced it; settable for A/B or if a worker build regresses.
+LABEL_HOST_THRESHOLD = int(
+    __import__("os").environ.get("SOAP_TPU_LABEL_HOST_THRESHOLD", 1 << 62)
+)
+
+
+# ---- staged (host-stepped) label core: E-scale graphs ----------------
+
+@jax.jit
+def _stage_setup(on_chain_state, nxt):
+    """Derived per-state inputs shared by both passes."""
+    S = nxt.shape[0]
+    sidx = jnp.arange(S, dtype=jnp.int32)
+    nxt_safe = jnp.where(nxt >= 0, nxt, 0)
+    nxt_on = (nxt >= 0) & on_chain_state[nxt_safe]
+    flip_nxt = jnp.where((sidx & 1) == 0, jnp.roll(nxt, -1),
+                         jnp.roll(nxt, 1))
+    flip_nxt_safe = jnp.where(flip_nxt >= 0, flip_nxt, 0)
+    prv = jnp.where(flip_nxt >= 0, flip_nxt_safe ^ 1, -1)
+    prv_on = (prv >= 0) & on_chain_state[jnp.where(prv >= 0, prv, 0)]
+    natural_head = on_chain_state & ~prv_on
+    return nxt_on, prv, prv_on, natural_head
+
+
+@jax.jit
+def _stage_ptr0(is_head, on_chain_state, prv, prv_on):
+    S = prv.shape[0]
+    sidx = jnp.arange(S, dtype=jnp.int32)
+    return jnp.where(is_head | ~on_chain_state, sidx,
+                     jnp.where(prv_on, prv, sidx))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _round_min(ptr, val):
+    v2 = jnp.minimum(val, val[ptr])
+    p2 = ptr[ptr]
+    return p2, v2, jnp.all(p2 == ptr)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _round_add(ptr, val):
+    v2 = val + val[ptr]
+    p2 = ptr[ptr]
+    return p2, v2, jnp.all(p2 == ptr)
+
+
+def _host_jump(ptr, val, steps: int, round_fn):
+    """Pointer doubling as host-stepped rounds: ~0.1 s scalar readback
+    per round buys a bounded per-program working set (the whole point at
+    E scale) and the same early exit as the fused while_loop."""
+    for _ in range(steps):
+        ptr, val, done = round_fn(ptr, val)
+        if bool(done):
+            break
+    return ptr, val
+
+
+@jax.jit
+def _stage_cycle(on_chain_state, natural_head, ptr, mn):
+    S = ptr.shape[0]
+    sidx = jnp.arange(S, dtype=jnp.int32)
+    reached = natural_head[ptr]
+    is_cycle = on_chain_state & ~reached
+    art_head = is_cycle & (sidx == mn)
+    is_head = natural_head | art_head
+    return is_cycle, is_head
+
+
+@jax.jit
+def _stage_rank0(on_chain_state, is_head):
+    return jnp.where(on_chain_state & ~is_head, 1, 0).astype(jnp.int32)
+
+
+@jax.jit
+def _stage_finish(on_chain_state, nxt, nxt_on, is_head, is_cycle,
+                  ptr, rank):
+    S = ptr.shape[0]
+    unreached = on_chain_state & ~is_head[ptr]
+    head = jnp.where(on_chain_state, ptr, -1)
+    length = jax.ops.segment_sum(
+        on_chain_state.astype(jnp.int32),
+        jnp.where(on_chain_state, head, S - 1),
+        num_segments=S,
+    )
+    length = jnp.where(is_head, length, 0)
+    is_tail = on_chain_state & ~nxt_on
+    attach = jnp.full((S,), -1, jnp.int32)
+    attach = attach.at[jnp.where(is_tail, head, S)].set(nxt, mode="drop")
+    attach = jnp.where(is_head, attach, -1)
+    attach = jnp.where(is_cycle & is_head, -1, attach)
+    labels = ChainLabels(
+        on_chain=on_chain_state,
+        head=head,
+        rank=jnp.where(on_chain_state, rank, 0),
+        length=length,
+        attach=attach,
+        is_cycle=is_cycle,
+        is_head=is_head,
+    )
+    return labels, jnp.any(unreached)
+
+
+def _label_core_staged(on_chain_state, nxt, with_cycles: bool):
+    """_label_core with every round its own program (device-resident
+    labels; one scalar readback per round).  Replaces the numpy fallback
+    for graphs past LABEL_STAGED_THRESHOLD: at 128M states the numpy
+    path cost ~4 min (tunnel download + host gathers); this runs the
+    same passes at device gather bandwidth."""
+    S = nxt.shape[0]
+    steps = _doubling_steps(S)
+    on_chain_state = jnp.asarray(on_chain_state)
+    nxt = jnp.asarray(nxt)
+    nxt_on, prv, prv_on, natural_head = _stage_setup(on_chain_state, nxt)
+    if with_cycles:
+        ptr = _stage_ptr0(natural_head, on_chain_state, prv, prv_on)
+        sidx = jnp.arange(S, dtype=jnp.int32)
+        ptr, mn = _host_jump(ptr, sidx, steps, _round_min)
+        is_cycle, is_head = _stage_cycle(on_chain_state, natural_head,
+                                         ptr, mn)
+    else:
+        is_cycle = jnp.zeros((S,), bool)
+        is_head = natural_head
+    ptr = _stage_ptr0(is_head, on_chain_state, prv, prv_on)
+    rank0 = _stage_rank0(on_chain_state, is_head)
+    ptr, rank = _host_jump(ptr, rank0, steps, _round_add)
+    labels, unreached = _stage_finish(on_chain_state, nxt, nxt_on,
+                                      is_head, is_cycle, ptr, rank)
+    return labels, bool(unreached)
 
 
 def _label_core_numpy(on, nx, with_cycles: bool):
@@ -287,6 +417,13 @@ def label_chains_host(on_chain_state, nxt) -> ChainLabels:
     whole pass runs in numpy (see note above)."""
     if on_chain_state.shape[0] >= LABEL_HOST_THRESHOLD:
         return label_chains_numpy(on_chain_state, nxt)
+    if on_chain_state.shape[0] >= LABEL_STAGED_THRESHOLD:
+        labels, has_cycles = _label_core_staged(
+            on_chain_state, nxt, with_cycles=False)
+        if has_cycles:
+            labels, _ = _label_core_staged(
+                on_chain_state, nxt, with_cycles=True)
+        return labels
     labels, has_cycles = _label_core(on_chain_state, nxt, with_cycles=False)
     if bool(has_cycles):
         labels = _label_core(on_chain_state, nxt, with_cycles=True)[0]

@@ -143,6 +143,8 @@ def _scan_registry() -> Dict[str, Any]:
         except Exception:  # noqa: BLE001 — a missing optional module
             continue
         for attr, v in list(vars(mod).items()):
+            if isinstance(v, (_Recorder, _AotProxy)):
+                v = v._fn
             if isinstance(v, t):
                 reg[f"{mname}.{attr}"] = v
     return reg
@@ -194,6 +196,123 @@ _session: Optional[_Session] = None
 _replay_pool: Optional[_cf.ThreadPoolExecutor] = None
 
 
+# ------------------------------------------------------------- AOT mode
+#
+# The thread-pool replay still pays full TRACING on this host's GIL —
+# ~35 s of background CPU squeezed into the pipeline's first seconds,
+# which contends with the count pass's decode/pack loop.  AOT mode skips
+# tracing entirely: the recording run serializes every compiled
+# executable (jax.experimental.serialize_executable) into `<key>.aot`
+# beside the manifest, and replay installs dispatch proxies over the
+# module-level jitted fns — a call whose arg spec matches a stored entry
+# goes straight to the deserialized executable (no trace, no lower, no
+# compile); anything else falls through to the normal jit path.  This is
+# the production-TPU analog of the reference binary being compiled ahead
+# of time (main.c dispatches into precompiled stages).
+
+def _aot_env_key() -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    return f"{jax.__version__}|{jax.default_backend()}|{dev.device_kind}"
+
+
+class _AotProxy:
+    """Dispatch wrapper over a jitted fn with a spec->executable table."""
+
+    def __init__(self, fn, table: Dict[bytes, Any]):
+        self._fn = fn
+        self._table = table
+
+    def __call__(self, *args, **kwargs):
+        try:
+            import jax
+
+            leaves = jax.tree_util.tree_leaves((args, kwargs))
+            for leaf in leaves:
+                if isinstance(leaf, jax.core.Tracer):
+                    raise _FallThrough  # under trace: use the jit path
+            key = pickle.dumps(_spec_tree(args, kwargs))
+            compiled = self._table.get(key)
+            if compiled is not None:
+                return compiled(*args, **kwargs)
+        except _FallThrough:
+            pass
+        except Exception:  # noqa: BLE001 — any mismatch: normal path
+            pass
+        return self._fn(*args, **kwargs)
+
+    def __getattr__(self, item):
+        return getattr(self._fn, item)
+
+
+class _FallThrough(Exception):
+    pass
+
+
+def _aot_save(path: str, entries) -> None:
+    """Compile + serialize every recorded entry into one bundle."""
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    reg = _scan_registry()
+    bundle = {"env": _aot_env_key(), "items": []}
+    for name, spec, t in entries:
+        fn = reg.get(name)
+        if fn is None:
+            continue
+        try:
+            args, kwargs = _materialize(spec)
+            compiled = fn.lower(*args, **kwargs).compile()
+            payload, in_tree, out_tree = se.serialize(compiled)
+            bundle["items"].append(
+                (name, pickle.dumps(spec), payload,
+                 pickle.dumps(in_tree), pickle.dumps(out_tree), t))
+        except Exception as exc:  # noqa: BLE001 — skip unserializable
+            log.debug("aot skip %s: %s", name, str(exc)[:120])
+    with open(path, "wb") as f:
+        pickle.dump(bundle, f)
+    log.info("warmup: AOT bundle %d executables -> %s",
+             len(bundle["items"]), path)
+
+
+def _aot_load(path: str) -> bool:
+    """Install AOT dispatch proxies; returns True when active."""
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    try:
+        with open(path, "rb") as f:
+            bundle = pickle.load(f)
+        if bundle.get("env") != _aot_env_key():
+            log.info("warmup: AOT bundle env mismatch; ignoring")
+            return False
+        reg = _scan_registry()
+        import importlib
+
+        tables: Dict[str, Dict[bytes, Any]] = {}
+        n = 0
+        for name, spec_b, payload, in_b, out_b, t in bundle["items"]:
+            if name not in reg:
+                continue
+            try:
+                compiled = se.deserialize_and_load(
+                    payload, pickle.loads(in_b), pickle.loads(out_b))
+                tables.setdefault(name, {})[spec_b] = compiled
+                n += 1
+            except Exception as exc:  # noqa: BLE001
+                log.debug("aot load miss %s: %s", name, str(exc)[:120])
+        for name, table in tables.items():
+            mname, attr = name.rsplit(".", 1)
+            mod = importlib.import_module(mname)
+            setattr(mod, attr, _AotProxy(reg[name], table))
+        log.info("warmup: %d AOT executables installed", n)
+        return n > 0
+    except Exception as exc:  # noqa: BLE001 — never fatal
+        log.debug("warmup: AOT load failed: %s", exc)
+        return False
+
+
 def manifest_dir() -> str:
     d = os.environ.get("SOAP_WARMUP_DIR")
     if d:
@@ -212,9 +331,15 @@ def manifest_key(cmd: str, **params) -> str:
     return "-".join(str(p) for p in parts)
 
 
+_replayed_keys = set()
+
+
 def begin(key: str) -> None:
     """Start recording (SOAP_WARMUP_RECORD=1) or background replay."""
     global _session
+    if key in _replayed_keys:
+        return
+    _replayed_keys.add(key)
     if os.environ.get("SOAP_WARMUP_RECORD") == "1":
         _session = _Session()
         reg = _scan_registry()
@@ -226,12 +351,28 @@ def begin(key: str) -> None:
             setattr(mod, attr, _Recorder(fn, name, _session))
         log.info("warmup: recording %d jitted kernels", len(reg))
         return
+    aot_path = os.path.join(manifest_dir(), key + ".aot")
+    if (os.path.exists(aot_path)
+            and os.environ.get("SOAP_WARMUP_AOT", "1") == "1"):
+        if _aot_load(aot_path):
+            return
     path = os.path.join(manifest_dir(), key + ".pkl")
     if not os.path.exists(path):
         log.debug("warmup: no manifest %s", path)
         return
     t = threading.Thread(target=_replay, args=(path,), daemon=True)
     t.start()
+    _replay_threads.append(t)
+
+
+_replay_threads: List[threading.Thread] = []
+
+
+def wait(timeout: Optional[float] = None) -> None:
+    """Block until outstanding replay threads finish (e.g. a bench
+    preparing a fully-warm process before its timed region)."""
+    for t in list(_replay_threads):
+        t.join(timeout)
 
 
 def finish(key: str) -> None:
@@ -251,6 +392,10 @@ def finish(key: str) -> None:
     with open(path, "wb") as f:
         pickle.dump({"version": 2, "entries": good}, f)
     log.info("warmup: saved %d entries -> %s", len(good), path)
+    try:
+        _aot_save(os.path.join(manifest_dir(), key + ".aot"), good)
+    except Exception as exc:  # noqa: BLE001 — AOT bundle is optional
+        log.warning("warmup: AOT save failed: %s", exc)
     _session = None
 
 

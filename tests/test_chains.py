@@ -71,3 +71,33 @@ def test_numpy_cycle_labels():
     for name in ChainLabelsFields():
         assert (np.asarray(getattr(dev, name))
                 == np.asarray(getattr(host, name))).all(), name
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_staged_matches_fused(seed, monkeypatch):
+    """The host-stepped staged path (E-scale route past
+    LABEL_STAGED_THRESHOLD) must agree field-for-field with the fused
+    while_loop core on every topology, cycles included."""
+    rng = np.random.default_rng(seed)
+    on, nxt = _random_state_graph(rng, 400, p_cycle=0.2)
+    fused = chains.label_chains_host(on, nxt)
+    staged, _ = chains._label_core_staged(on, nxt, with_cycles=False)
+    if bool(chains._label_core(on, nxt, with_cycles=False)[1]):
+        staged, _ = chains._label_core_staged(on, nxt, with_cycles=True)
+    for name in ChainLabelsFields():
+        a = np.asarray(getattr(fused, name))
+        b = np.asarray(getattr(staged, name))
+        assert (a == b).all(), name
+
+
+def test_staged_threshold_routing(monkeypatch):
+    """label_chains_host routes through the staged path when S crosses
+    LABEL_STAGED_THRESHOLD (forced low here) and still matches numpy."""
+    monkeypatch.setattr(chains, "LABEL_STAGED_THRESHOLD", 16)
+    rng = np.random.default_rng(7)
+    on, nxt = _random_state_graph(rng, 300, p_cycle=0.15)
+    dev = chains.label_chains_host(on, nxt)
+    host = chains.label_chains_numpy(on, nxt)
+    for name in ChainLabelsFields():
+        assert (np.asarray(getattr(dev, name))
+                == np.asarray(getattr(host, name))).all(), name
