@@ -153,6 +153,133 @@ def build_links_for_grad(
     )
 
 
+# ------------------------------------------------------------------
+# device PE2Links (attachPEinfo.c:317-384 semantics on device): the
+# host numpy segment-reduce above is exact but single-threaded — fine
+# to ~10M links, after which the reference streams it over threads.
+# This kernel keeps everything int32 (no x64 on device): composite
+# keys sort via two stable passes, and per-link gap sums split into
+# 8-bit-low/high int32 accumulators so the host reconstructs the exact
+# integer mean the numpy path computes.
+# ------------------------------------------------------------------
+
+def _links_device_kernel():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("insert_size",))
+    def kernel(read_id, c, p, ctg_len, id_lo, id_hi, insert_size: int):
+        n = read_id.shape[0]
+        big = jnp.int32(2**31 - 1)
+        rid = jnp.where((read_id >= id_lo) & (read_id < id_hi),
+                        read_id.astype(jnp.int32), big)
+        order = jnp.argsort(rid, stable=True)
+        rid = rid[order]
+        c = c[order]
+        p = p[order]
+        nxt_rid = jnp.roll(rid, -1)
+        c2 = jnp.roll(c, -1)
+        p2 = jnp.roll(p, -1)
+        first = (rid % 2 == 0) & (nxt_rid == rid + 1) & (rid < big)
+        first = first.at[-1].set(False)
+        len1 = ctg_len[jnp.maximum(c, 0)]
+        len2 = ctg_len[jnp.maximum(c2, 0)]
+        same = first & (c2 == (c ^ 1))
+        cross = first & ~same & (c != c2)
+        g = insert_size - (len1 - p) - (len2 - p2)
+        ok = cross & (g >= -(insert_size // 10)) & (g <= insert_size)
+        a = jnp.where(ok, c, big)
+        b = jnp.where(ok, c2 ^ 1, big)
+        # mirrored twins in one 2n buffer
+        a_all = jnp.concatenate([a, jnp.where(ok, b ^ 1, big)])
+        b_all = jnp.concatenate([b, jnp.where(ok, a ^ 1, big)])
+        g_all = jnp.concatenate([g, g])
+        # lexicographic (a, b) via two stable passes
+        o1 = jnp.argsort(b_all, stable=True)
+        a_s, b_s, g_s = a_all[o1], b_all[o1], g_all[o1]
+        o2 = jnp.argsort(a_s, stable=True)
+        a_s, b_s, g_s = a_s[o2], b_s[o2], g_s[o2]
+        newg = jnp.ones((2 * n,), bool)
+        newg = newg.at[1:].set(
+            (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        live = a_s < big
+        grp = jnp.cumsum(newg.astype(jnp.int32)) - 1
+        gp = insert_size + g_s  # >= 0 within the +-ins/10 accept window
+        w = jax.ops.segment_sum(live.astype(jnp.int32), grp,
+                                num_segments=2 * n)
+        lo = jax.ops.segment_sum(
+            jnp.where(live, gp & 0xFF, 0), grp, num_segments=2 * n)
+        hi = jax.ops.segment_sum(
+            jnp.where(live, gp >> 8, 0), grp, num_segments=2 * n)
+        starts = jnp.nonzero(newg & live, size=2 * n, fill_value=2 * n - 1)[0]
+        n_links = jnp.sum(newg & live)
+        # same-contig insert observations for host calcuIS
+        obs = jnp.where(same, (len1 - p2) - p, 0)
+        return (a_s[starts], b_s[starts], w[starts], lo[starts],
+                hi[starts], n_links, obs, same)
+
+    return kernel
+
+
+_links_kernel_cache = []
+
+
+def build_links_for_grad_device(
+    read_id: np.ndarray,
+    ctg: np.ndarray,
+    pos: np.ndarray,
+    ctg_len: np.ndarray,
+    insert_size: int,
+    id_lo: int,
+    id_hi: int,
+) -> Tuple[LinkTable, Optional[int]]:
+    """Device counterpart of build_links_for_grad — exact same outputs
+    (parity-tested), with the sort + pair-detect + segment-reduce on
+    the accelerator.  Accepts device or host arrays."""
+    import jax.numpy as jnp
+
+    if not _links_kernel_cache:
+        _links_kernel_cache.append(_links_device_kernel())
+    kernel = _links_kernel_cache[0]
+    a, b, w, lo, hi, n_links, obs, same = kernel(
+        jnp.asarray(read_id, jnp.int32), jnp.asarray(ctg, jnp.int32),
+        jnp.asarray(pos, jnp.int32), jnp.asarray(ctg_len, jnp.int32),
+        int(id_lo), int(id_hi), int(insert_size),
+    )
+    nl = int(n_links)
+    a = np.asarray(a)[:nl]
+    b = np.asarray(b)[:nl]
+    w_np = np.asarray(w)[:nl].astype(np.int64)
+    tot = (np.asarray(hi)[:nl].astype(np.int64) << 8) \
+        + np.asarray(lo)[:nl].astype(np.int64) \
+        - w_np * insert_size
+    # numpy-path semantics: float mean truncated toward zero by astype
+    gap = (tot / np.maximum(w_np, 1)).astype(np.int32) if nl \
+        else np.zeros((0,), np.int32)
+    obs_np = np.asarray(obs)[np.asarray(same)]
+    new_ins = _calcu_is(obs_np.astype(np.int64))
+    return (
+        LinkTable(c1=a.astype(np.int32), c2=b.astype(np.int32),
+                  weight=w_np.astype(np.int32), gap=gap),
+        new_ins,
+    )
+
+
+def _calcu_is(obs: np.ndarray) -> Optional[int]:
+    """calcuIS (attachPEinfo.c): mean, then mean of observations within
+    3*SD (sample SD, C integer division)."""
+    if obs.size < 100:
+        return None
+    avg = int(obs.sum() // obs.size)
+    sd = int(np.sqrt(((obs - avg) ** 2).sum() // (obs.size - 1)))
+    if sd == 0:
+        return avg
+    keep = np.abs(obs - avg) < 3 * sd
+    return int(obs[keep].sum() // keep.sum()) if keep.any() else None
+
+
 # ---------------------------------------------------------------------------
 # per-rank ordering
 # ---------------------------------------------------------------------------

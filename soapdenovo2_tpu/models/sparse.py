@@ -535,6 +535,12 @@ def run_sparse_pregraph(
     n_tips = remove_sparse_tips(g)
     if n_tips and progress:
         log.info("sparse tips: %d node(s) clipped", n_tips)
+    n_arms = collapse_sparse_arms(g)
+    if n_arms:
+        n_tips2 = remove_sparse_tips(g)
+        if progress:
+            log.info("sparse arms: %d collapsed (+%d tip nodes)",
+                     n_arms, n_tips2)
     # standard stage files so `contig -g prefix` runs on sparse output
     # (the reference flow: sparse_pregraph -> contig -> map -> scaff)
     only = {0: "all", 1: "all", 3: "edges", 4: "prearcs"}[run_mode]
@@ -792,6 +798,84 @@ def _join_error_splits(g: SparseGraph, chains: List[SparseChain],
             out.append(chains[i])
             used[i] = True
     return out
+
+
+def _delete_edge_record(g: SparseGraph, st, bases, dst) -> bool:
+    """Delete the underlying g.edges record behind the oriented edge
+    (st --bases--> dst), whether it was observed directly or as the
+    twin mirror (see _adjacency's mirror construction)."""
+    el, b0, b1 = _pack_bases(bases)
+    key = (st[0], st[1], el, b0, b1)
+    if key in g.edges:
+        del g.edges[key]
+        return True
+    # the edge was the mirror of a record whose src is flip(dst): its
+    # bases are comp(reverse(first m bases of seq(st)))
+    src_str = _seq_of_state(g, st)
+    m = len(bases)
+    mbases = tuple(
+        (3 - int(kops._BASE_FROM_CHAR[ord(c)])) & 3
+        for c in reversed(src_str[:m])
+    )
+    el, b0, b1 = _pack_bases(mbases)
+    key = (dst[0], 1 - dst[1], el, b0, b1)
+    if key in g.edges:
+        del g.edges[key]
+        return True
+    return False
+
+
+def collapse_sparse_arms(g: SparseGraph, max_rounds: int = 4) -> int:
+    """Bubble/branch ARM-PAIR collapse on the sparse chain graph.
+
+    A sequencing error inside the gap between two selected nodes spawns
+    a minority parallel arm between the same branch-state pair — either
+    a direct error EDGE or a short error-node detour.  The dense path
+    cleans these with tour-bus on the k-mer graph (bubble.c), but the
+    sparse graph contracts before conversion, so its arms exceed the
+    dense tour-bus window and every surviving error arm breaks a chain
+    at both endpoints (the r4 contiguity gap: 0.78x the dense bar).
+    The reference's own pruning is absolute-cov only
+    (sparsePregraph/build_edge.cpp:52); this pass is the relative
+    minority test the chain graph needs: parallel arms between the same
+    (start, end) states collapse onto the strongest arm when the
+    minority carries <1/4 of its support (the removeMinorTips ratio),
+    iterated with tip clipping to fixpoint."""
+    total = 0
+    for _ in range(max_rounds):
+        chains = sparse_chains(g)
+        groups: Dict[Tuple, List[SparseChain]] = {}
+        for ch in chains:
+            if len(ch.nodes) < 2:
+                continue
+            groups.setdefault((ch.start, ch.end), []).append(ch)
+        removed = 0
+        for (s, e), arms in groups.items():
+            if len(arms) < 2:
+                continue
+            arms.sort(key=lambda c: (-c.first_cov, -c.cov, c.seq))
+            keep = arms[0]
+            for arm in arms[1:]:
+                minority = (arm.first_cov * 4 <= keep.first_cov
+                            or arm.cov * 4 <= keep.cov)
+                if not minority:
+                    continue
+                interior = [ni for ni in arm.nodes[1:-1]
+                            if ni != s[0] and ni != e[0]]
+                if interior:
+                    for ni in interior:
+                        if g.node_cov[ni]:
+                            g.node_cov[ni] = 0
+                            removed += 1
+                elif _delete_edge_record(g, arm.start, arm.first_bases, e):
+                    removed += 1
+        if not removed:
+            break
+        total += removed
+        g.edges = {
+            key: c for key, c in g.edges.items() if g.node_cov[key[0]] > 0
+        }
+    return total
 
 
 def remove_sparse_tips(g: SparseGraph, max_rounds: int = 5) -> int:

@@ -182,3 +182,37 @@ def test_calcuIS_three_sd_trimmed_mean():
     plain_mean = obs.sum() // n  # ~492 — what an untrimmed mean gives
     assert plain_mean > 450
     assert new_ins is not None and abs(new_ins - 400) <= 3, new_ins
+
+
+def test_links_device_matches_host():
+    """Device PE2Links (scaffold.build_links_for_grad_device) must be
+    record-for-record identical to the host numpy segment-reduce —
+    links, weights, gaps, and the calcuIS re-estimate
+    (attachPEinfo.c:317-384 semantics on both paths)."""
+    rng = np.random.default_rng(77)
+    n_ctg = 40
+    ctg_len = rng.integers(800, 5000, size=2 * n_ctg).astype(np.int64)
+    ctg_len[1::2] = ctg_len[0::2]
+    n_reads = 20000
+    rid = np.arange(n_reads, dtype=np.int64)
+    ctg = rng.integers(0, 2 * n_ctg, size=n_reads).astype(np.int32)
+    # make a fraction of pairs land on the twin contig (same-contig obs)
+    same_sel = rng.random(n_reads // 2) < 0.3
+    ctg1 = ctg[0::2]
+    ctg[1::2] = np.where(same_sel, ctg1 ^ 1, ctg[1::2])
+    pos = np.array([rng.integers(0, max(ctg_len[c] - 100, 1))
+                    for c in ctg], np.int32)
+    # drop some reads entirely (unmapped) to exercise pair detection
+    keep = rng.random(n_reads) > 0.15
+    rid, ctg, pos = rid[keep], ctg[keep], pos[keep]
+    ins = 400
+    host, ins_h = sf.build_links_for_grad(
+        rid, ctg, pos, ctg_len, ins, 0, n_reads)
+    dev, ins_d = sf.build_links_for_grad_device(
+        rid, ctg, pos, ctg_len, ins, 0, n_reads)
+    assert ins_h == ins_d
+    assert host.c1.shape == dev.c1.shape
+    np.testing.assert_array_equal(host.c1, dev.c1)
+    np.testing.assert_array_equal(host.c2, dev.c2)
+    np.testing.assert_array_equal(host.weight, dev.weight)
+    np.testing.assert_array_equal(host.gap, dev.gap)

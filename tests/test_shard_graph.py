@@ -226,3 +226,37 @@ def test_sharded_edges_match_single():
     d2 = {(ks[s >> 1].tobytes(), s & 1): (int(ses[s]), int(srs[s]))
           for s in np.nonzero(ses >= 0)[0]}
     assert d1 == d2
+
+
+def test_forced_overflow_label_raises():
+    """Routing-capacity overflow must surface as an error, never a
+    silent drop (VERDICT r4 item 9): label_chains_sharded with a
+    deliberately tiny qcap raises instead of mislabeling."""
+    mesh = _mesh()
+    # one long chain: every state routes to a neighbor, so a qcap of 1
+    # cannot carry the per-shard traffic
+    n = 512
+    on = np.ones((2 * n,), bool)
+    nxt = np.full((2 * n,), -1, np.int32)
+    for a in range(n - 1):
+        nxt[2 * a] = 2 * (a + 1)
+        nxt[2 * (a + 1) + 1] = 2 * a + 1
+    with pytest.raises(RuntimeError, match="dropped|qcap"):
+        sg.label_chains_sharded(mesh, jnp.asarray(on), jnp.asarray(nxt),
+                                qcap=1)
+
+
+def test_forced_overflow_count_raises():
+    """count path: a bucket_cap far below per-shard traffic must raise
+    through run_pregraph's sharded-count check, not drop k-mers."""
+    mesh = _mesh()
+    genome, reads = _reads(genome_len=2000, with_tip=False)
+    codes = np.full((len(reads), 100), kops.BASE_N, np.uint8)
+    lengths = np.zeros((len(reads),), np.int32)
+    for i, r in enumerate(reads):
+        lengths[i] = rio.encode_read(r, codes[i])
+    batch = rio.ReadBatch(codes=codes, lengths=lengths, n=len(reads),
+                          start_id=0)
+    keys, covs, n, n_reads, dropped = pc.count_stream_sharded(
+        iter([batch]), K, mesh, 100, len(reads), bucket_cap=8)
+    assert int(dropped) > 0  # the count is reported, the caller raises
