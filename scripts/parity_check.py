@@ -138,8 +138,38 @@ def run_parity(workdir: str, genome_len: int = 50_000, k: int = 23,
             "scaffold": assembly_stats(scaf),
             "matched": good,
             "mismatched": bad,
+            "identity": kmer_identity(scaf, gstr),
         }
     return out
+
+
+def kmer_identity(scafs, genome: str, k: int = 31) -> float:
+    """Positional-identity proxy: fraction of scaffold k-mers present in
+    the genome (canonical strand).  The exact-substring matched_bases
+    metric marks a WHOLE unbroken scaffold segment mismatched for one
+    base error, which under-credits gapless assemblies (BASELINE.md
+    round-4 note); one error here costs only ~k of the total k-mers."""
+    comp = str.maketrans("ACGTN", "TGCAN")
+
+    def canon_kmers(s):
+        rc = s.translate(comp)[::-1]
+        n = len(s)
+        for i in range(n - k + 1):
+            f = s[i : i + k]
+            r = rc[n - k - i : n - i]
+            yield min(f, r)
+
+    gset = set(canon_kmers(genome))
+    tot = hit = 0
+    for c in scafs:
+        for s in re.split("N+", c):
+            if len(s) < k:
+                continue
+            for km in canon_kmers(s):
+                tot += 1
+                if km in gset:
+                    hit += 1
+    return hit / tot if tot else 0.0
 
 
 def run_parity_multirank(workdir: str, genome_len: int = 1_000_000,

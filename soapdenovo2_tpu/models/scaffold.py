@@ -561,8 +561,6 @@ class Scaffolder:
         W = wsum
         G = gavg.astype(np.int64)
 
-        # transitive reduction (removeTransitive:1765, simplified): drop
-        # A->C if A->B and B->C exist with gap(A,B)+len(B)+gap(B,C) ~ gap(A,C)
         linkset: Dict[Tuple[int, int], Tuple[float, int]] = {}
         for a, b, ww, gg in zip(A, B, W, G):
             linkset[(int(a), int(b))] = (float(ww), int(gg))
@@ -578,38 +576,16 @@ class Scaffolder:
         def chain_len_of(x):
             return int(chain_total[x >> 1])
 
-        drop = set()
-        out_links: Dict[int, List[int]] = {}
-        for (a, b) in linkset:
-            out_links.setdefault(a, []).append(b)
-        tol = max(insert_size // 5, 100)
-        for a, outs in out_links.items():
-            if len(outs) < 2:
-                continue
-            for b in outs:
-                for cnode in outs:
-                    if cnode == b:
-                        continue
-                    ab = linkset[(a, b)][1]
-                    if (b, cnode) in linkset:
-                        expect = ab + chain_len_of(b) + linkset[(b, cnode)][1]
-                        if abs(expect - linkset[(a, cnode)][1]) < tol:
-                            drop.add((a, cnode))
-        for d in drop:
-            linkset.pop(d, None)
-            # twin symmetry: dropping A->C must drop C^1->A^1 too, or the
-            # orphan mirror leaves a phantom predecessor that blocks
-            # unique-successor freezing at the junction
-            linkset.pop((d[1] ^ 1, d[0] ^ 1), None)
+        ins_var = 50 if insert_size >= 1000 else (
+            30 if insert_size >= 300 else 20
+        )
+        self._remove_transitive(linkset, chain_len_of, ins_var)
         log.debug("rank ins=%d: %d chain links after transitive reduction",
                   insert_size, len(linkset))
 
         # subgraph linearization (general_linearization:8123): strict pass
         # always (simplifyCnt:2013), non-strict pass on the last rank
         # (ordering:2385)
-        ins_var = 50 if insert_size >= 1000 else (
-            30 if insert_size >= 300 else 20
-        )
         # removeBubbleCtg runs inside linearization for short-insert ranks
         # only (orderContig.c:8159: Insert_size < 1000 && cvg4SNP > 0.001)
         snp = (
@@ -624,6 +600,12 @@ class Scaffolder:
                                     overlap_tol=0.05, confl_tol=0.05,
                                     snp=snp, window=window,
                                     by_small_rank=by_small_rank)
+        # maskRepeat (orderContig.c:2222) between the two simplifyCnt
+        # passes of the reference's ordering(): branching nodes whose
+        # direct-connection subgraph fails the distance/overlap test (or
+        # whose coverage exceeds 1.4x average) are repeats -- mask them
+        self._mask_repeat(linkset, chain_len_of, tolerance=0.05)
+        self._remove_transitive(linkset, chain_len_of, ins_var)
         if last_rank:
             self._general_linearization(linkset, chain_len_of, ins_var,
                                         overlap_tol=0.10, confl_tol=0.10,
@@ -1145,6 +1127,200 @@ class Scaffolder:
                 for kp in linkset
                 if kp[0] in masked_nodes or kp[1] in masked_nodes
             ]:
+                del linkset[kp]
+        return n_masked
+
+    # -- removeTransitive (orderContig.c:1765) ------------------------------
+    @staticmethod
+    def _valid_outs(linkset, out_links, x):
+        return [y for y in out_links.get(x, ()) if (x, y) in linkset]
+
+    def _linear_c2c(self, linkset, out_links, b, c, mn, mx,
+                    chain_len_of, starter):
+        """linearC2C (orderContig.c:1433) on the contracted chain graph:
+        walk the unique-successor path down from B (reaching C = linear),
+        then the unique-predecessor path up from C; if both dead-end with
+        window budget left, link the frontiers (the reference allocates a
+        weight-0 CONNECT) and report linear.  Returns None for
+        not-linear, else the (new_link or None) to install."""
+        length = 0
+        cur = b
+        hops = 0
+        while True:
+            outs = self._valid_outs(linkset, out_links, cur)
+            if len(outs) != 1:
+                break
+            nxt = outs[0]
+            length += linkset[(cur, nxt)][1] + chain_len_of(nxt)
+            if nxt == c:
+                return (None, True)
+            if length > mx or nxt in (starter, starter ^ 1):
+                return (None, False)
+            cur = nxt
+            hops += 1
+            if hops > 64:
+                return (None, False)
+        if self._valid_outs(linkset, out_links, cur):
+            return (None, False)  # new c1 still branches
+        c1p = cur
+        # most-upstream contig of C: downstream walk of twin(C)
+        ctg = c ^ 1
+        hops = 0
+        while True:
+            outs = self._valid_outs(linkset, out_links, ctg)
+            if len(outs) != 1:
+                break
+            nxt = outs[0]
+            length += linkset[(ctg, nxt)][1] + chain_len_of(nxt)
+            if length > mx or nxt in (starter, starter ^ 1):
+                return (None, False)
+            ctg = nxt
+            hops += 1
+            if hops > 64:
+                return (None, False)
+        if self._valid_outs(linkset, out_links, ctg):
+            return (None, False)  # new c2 has incoming links
+        c2p = ctg ^ 1
+        mn2, mx2 = mn - length, mx - length
+        if c1p == c2p or c1p == ctg or mx2 < 0:
+            return (None, False)
+        if (c1p, c2p) in linkset:
+            return (None, True)
+        gap_new = max((mn2 + mx2) // 2, 0)
+        return ((c1p, c2p, gap_new), True)
+
+    def _remove_transitive(self, linkset, chain_len_of, ins_var,
+                           max_rounds: int = 8) -> int:
+        """removeTransitive (orderContig.c:1765), faithful semantics:
+        only nodes with EXACTLY two valid outgoing connections; cn1 the
+        nearer, cn2 the farther.  Guards: twin(C) keeps <= 2 valid outs
+        (C's in-degree), twin(B) <= 1; the distance window
+        gC - gB - len(B) +- ins_var/2 must reach >= 0; and A->C is
+        dropped only when linearC2C confirms B connects to C (walking
+        unique-successor paths, installing the reference's weight-0
+        frontier link when both walks dead-end inside the window).
+        Iterated to fixpoint like the reference's cycle loop."""
+        n_dropped = 0
+        for _ in range(max_rounds):
+            out_links: Dict[int, List[int]] = {}
+            for (x, y) in linkset:
+                out_links.setdefault(x, []).append(y)
+            changed = False
+            for a in sorted(out_links):
+                outs = self._valid_outs(linkset, out_links, a)
+                if len(outs) != 2:
+                    continue
+                b, c = sorted(outs)
+                if linkset[(a, b)][1] > linkset[(a, c)][1]:
+                    b, c = c, b
+                if len(self._valid_outs(linkset, out_links, c ^ 1)) > 2:
+                    continue
+                if len(self._valid_outs(linkset, out_links, b ^ 1)) > 1:
+                    continue
+                gb = linkset[(a, b)][1]
+                gc = linkset[(a, c)][1]
+                base = gc - gb - chain_len_of(b)
+                mn = base - ins_var // 2
+                mx = base + ins_var // 2
+                if mx < 0:
+                    continue
+                # temporarily delete A->C like the reference, so the
+                # walks don't route through it
+                wc, gcv = linkset.pop((a, c))
+                mirror = linkset.pop((c ^ 1, a ^ 1), None)
+                new_link, linear = self._linear_c2c(
+                    linkset, out_links, b, c, mn, mx, chain_len_of, a)
+                if not linear:
+                    linkset[(a, c)] = (wc, gcv)
+                    if mirror is not None:
+                        linkset[(c ^ 1, a ^ 1)] = mirror
+                    continue
+                if new_link is not None:
+                    x, y, g_new = new_link
+                    linkset[(x, y)] = (0.0, g_new)
+                    linkset[(y ^ 1, x ^ 1)] = (0.0, g_new)
+                changed = True
+                n_dropped += 1
+            if not changed:
+                break
+        return n_dropped
+
+    # -- maskRepeat / checkUnique (orderContig.c:2222/2147) -----------------
+    def _check_unique(self, linkset, out_links, node, chain_len_of,
+                      tolerance: float) -> bool:
+        """checkUnique (orderContig.c:2147): order the node's direct
+        connections (and what they bind to) by distance; the node stays
+        unique when the ordered members pass the aggregate overlap budget
+        (checkOverlapInBetween) — i.e. the branching is explained by
+        consistent positions, not a repeat."""
+        members = [(0, node)]
+        for b in self._valid_outs(linkset, out_links, node):
+            d = linkset[(node, b)][1] + chain_len_of(b)
+            members.append((d, b))
+        if len(members) <= 2:
+            return True
+        members.sort()
+        # positions: start offset of each member
+        pos = []
+        for d, m in members:
+            pos.append((d - chain_len_of(m), m))
+        len_sum = sum(chain_len_of(m) for _, m in members)
+        if len_sum < 1:
+            return True
+        len_olp = 0
+        for (px, x), (py, y) in zip(pos, pos[1:]):
+            overlap = px + chain_len_of(x) - py
+            if overlap > 0:
+                len_olp += overlap
+            if len_olp > tolerance * len_sum:
+                return False
+        return True
+
+    def _mask_repeat(self, linkset, chain_len_of,
+                     tolerance: float = 0.05) -> int:
+        """maskRepeat (orderContig.c:2222): a still-branching contig is a
+        repeat when its coverage exceeds 1.4x the average or when either
+        direction fails checkUnique; masked contigs leave ordering (and
+        can return via recoverMask)."""
+        out_links: Dict[int, List[int]] = {}
+        for (x, y) in linkset:
+            out_links.setdefault(x, []).append(y)
+        cvg_avg = None
+        if self.cvg_dir is not None:
+            live = self.cvg_dir[self.cvg_dir > 0]
+            if live.size:
+                cvg_avg = float(live.mean())
+        n_masked = 0
+        masked_nodes = set()
+        for node in sorted(set(out_links)):
+            outn = len(self._valid_outs(linkset, out_links, node))
+            inn = len(self._valid_outs(linkset, out_links, node ^ 1))
+            if outn <= 1 and inn <= 1:
+                continue
+            sc = self.chains[node >> 1]
+            if len(sc.ctgs) != 1:
+                continue  # bound chains carry consistent evidence
+            c = sc.ctgs[0]
+            if self.mask[c]:
+                continue
+            is_repeat = False
+            if cvg_avg and self.cvg_dir is not None \
+                    and self.cvg_dir[c] > 1.4 * cvg_avg:
+                is_repeat = True
+            else:
+                ok_in = (inn <= 1) or self._check_unique(
+                    linkset, out_links, node ^ 1, chain_len_of, tolerance)
+                ok_out = (outn <= 1) or self._check_unique(
+                    linkset, out_links, node, chain_len_of, tolerance)
+                is_repeat = not (ok_in and ok_out)
+            if is_repeat:
+                self.mask[c] = self.mask[c ^ 1] = True
+                masked_nodes.add(node)
+                masked_nodes.add(node ^ 1)
+                n_masked += 1
+        if masked_nodes:
+            for kp in [kp for kp in linkset
+                       if kp[0] in masked_nodes or kp[1] in masked_nodes]:
                 del linkset[kp]
         return n_masked
 

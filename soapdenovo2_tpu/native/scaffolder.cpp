@@ -464,6 +464,205 @@ void mask_puzzle(Ctx& ctx, LinkSet& ls) {
   }
 }
 
+// --- removeTransitive (orderContig.c:1765, faithful) ----------------------
+std::vector<int64_t> valid_outs(
+    const LinkSet& ls,
+    const std::map<int64_t, std::vector<int64_t>>& out_links, int64_t x) {
+  std::vector<int64_t> v;
+  auto it = out_links.find(x);
+  if (it == out_links.end()) return v;
+  for (int64_t y : it->second)
+    if (ls.count(key2(x, y))) v.push_back(y);
+  return v;
+}
+
+// linearC2C (orderContig.c:1433) on the contracted chain graph: walk the
+// unique-successor path down from B (reaching C = linear), then the
+// unique-predecessor path up from C; if both dead-end with window budget
+// left, link the frontiers (the reference allocates a weight-0 CONNECT).
+// Returns linear?; *new_link = {c1p, c2p, gap} when a frontier link is to
+// be installed (new_link[0] < 0 otherwise).
+bool linear_c2c(const LinkSet& ls,
+                const std::map<int64_t, std::vector<int64_t>>& out_links,
+                int64_t b, int64_t c, int64_t mn, int64_t mx,
+                const Ctx& ctx, int64_t starter, int64_t* new_link) {
+  new_link[0] = -1;
+  int64_t length = 0, cur = b, hops = 0;
+  for (;;) {
+    auto outs = valid_outs(ls, out_links, cur);
+    if (outs.size() != 1) break;
+    int64_t nxt = outs[0];
+    length += ls.at(key2(cur, nxt)).g + ctx.chain_len_of(nxt);
+    if (nxt == c) return true;
+    if (length > mx || nxt == starter || nxt == (starter ^ 1)) return false;
+    cur = nxt;
+    if (++hops > 64) return false;
+  }
+  if (!valid_outs(ls, out_links, cur).empty()) return false;
+  int64_t c1p = cur;
+  int64_t ctg = c ^ 1;
+  hops = 0;
+  for (;;) {
+    auto outs = valid_outs(ls, out_links, ctg);
+    if (outs.size() != 1) break;
+    int64_t nxt = outs[0];
+    length += ls.at(key2(ctg, nxt)).g + ctx.chain_len_of(nxt);
+    if (length > mx || nxt == starter || nxt == (starter ^ 1)) return false;
+    ctg = nxt;
+    if (++hops > 64) return false;
+  }
+  if (!valid_outs(ls, out_links, ctg).empty()) return false;
+  int64_t c2p = ctg ^ 1;
+  int64_t mn2 = mn - length, mx2 = mx - length;
+  if (c1p == c2p || c1p == ctg || mx2 < 0) return false;
+  if (ls.count(key2(c1p, c2p))) return true;
+  new_link[0] = c1p;
+  new_link[1] = c2p;
+  new_link[2] = std::max((mn2 + mx2) / 2, static_cast<int64_t>(0));
+  return true;
+}
+
+int64_t remove_transitive(Ctx& ctx, LinkSet& ls, int64_t ins_var,
+                          int max_rounds = 8) {
+  int64_t n_dropped = 0;
+  for (int round = 0; round < max_rounds; ++round) {
+    std::map<int64_t, std::vector<int64_t>> out_links;
+    for (auto& kv : ls)
+      out_links[static_cast<int64_t>(kv.first >> 32)].push_back(
+          static_cast<int64_t>(kv.first & 0xFFFFFFFFu));
+    bool changed = false;
+    for (auto& okv : out_links) {
+      int64_t a = okv.first;
+      auto outs = valid_outs(ls, out_links, a);
+      if (outs.size() != 2) continue;
+      int64_t b = std::min(outs[0], outs[1]);
+      int64_t c = std::max(outs[0], outs[1]);
+      if (ls.at(key2(a, b)).g > ls.at(key2(a, c)).g) std::swap(b, c);
+      if (valid_outs(ls, out_links, c ^ 1).size() > 2) continue;
+      if (valid_outs(ls, out_links, b ^ 1).size() > 1) continue;
+      int64_t gb = ls.at(key2(a, b)).g, gc = ls.at(key2(a, c)).g;
+      int64_t base = gc - gb - ctx.chain_len_of(b);
+      int64_t mn = base - ins_var / 2, mx = base + ins_var / 2;
+      if (mx < 0) continue;
+      // temporarily delete A->C so the walks don't route through it
+      LinkVal wc = ls.at(key2(a, c));
+      ls.erase(key2(a, c));
+      auto mit = ls.find(key2(c ^ 1, a ^ 1));
+      bool had_mirror = mit != ls.end();
+      LinkVal mv{};
+      if (had_mirror) {
+        mv = mit->second;
+        ls.erase(mit);
+      }
+      int64_t new_link[3];
+      bool linear =
+          linear_c2c(ls, out_links, b, c, mn, mx, ctx, a, new_link);
+      if (!linear) {
+        ls[key2(a, c)] = wc;
+        if (had_mirror) ls[key2(c ^ 1, a ^ 1)] = mv;
+        continue;
+      }
+      if (new_link[0] >= 0) {
+        ls[key2(new_link[0], new_link[1])] = {0.0, new_link[2]};
+        ls[key2(new_link[1] ^ 1, new_link[0] ^ 1)] = {0.0, new_link[2]};
+      }
+      changed = true;
+      ++n_dropped;
+    }
+    if (!changed) break;
+  }
+  return n_dropped;
+}
+
+// --- maskRepeat / checkUnique (orderContig.c:2222/2147) -------------------
+bool check_unique(const LinkSet& ls,
+                  const std::map<int64_t, std::vector<int64_t>>& out_links,
+                  int64_t node, const Ctx& ctx, double tolerance) {
+  std::vector<std::pair<int64_t, int64_t>> members{{0, node}};
+  for (int64_t b : valid_outs(ls, out_links, node))
+    members.emplace_back(ls.at(key2(node, b)).g + ctx.chain_len_of(b), b);
+  if (members.size() <= 2) return true;
+  std::sort(members.begin(), members.end());
+  std::vector<std::pair<int64_t, int64_t>> pos;
+  pos.reserve(members.size());
+  int64_t len_sum = 0;
+  for (auto& dm : members) {
+    pos.emplace_back(dm.first - ctx.chain_len_of(dm.second), dm.second);
+    len_sum += ctx.chain_len_of(dm.second);
+  }
+  if (len_sum < 1) return true;
+  int64_t len_olp = 0;
+  for (size_t i = 0; i + 1 < pos.size(); ++i) {
+    int64_t overlap =
+        pos[i].first + ctx.chain_len_of(pos[i].second) - pos[i + 1].first;
+    if (overlap > 0) len_olp += overlap;
+    if (static_cast<double>(len_olp) > tolerance * len_sum) return false;
+  }
+  return true;
+}
+
+int64_t mask_repeat(Ctx& ctx, LinkSet& ls, double tolerance) {
+  std::map<int64_t, std::vector<int64_t>> out_links;
+  for (auto& kv : ls)
+    out_links[static_cast<int64_t>(kv.first >> 32)].push_back(
+        static_cast<int64_t>(kv.first & 0xFFFFFFFFu));
+  double cvg_avg = 0;
+  bool have_cvg = false;
+  if (ctx.cvg) {
+    double s = 0;
+    int64_t n = 0;
+    for (int64_t i = 0; i < ctx.n_dir; ++i)
+      if (ctx.cvg[i] > 0) {
+        s += ctx.cvg[i];
+        ++n;
+      }
+    if (n) {
+      cvg_avg = s / n;
+      have_cvg = true;
+    }
+  }
+  int64_t n_masked = 0;
+  std::unordered_set<int64_t> masked_nodes;
+  for (auto& okv : out_links) {
+    int64_t node = okv.first;
+    int64_t outn = static_cast<int64_t>(valid_outs(ls, out_links, node).size());
+    int64_t inn =
+        static_cast<int64_t>(valid_outs(ls, out_links, node ^ 1).size());
+    if (outn <= 1 && inn <= 1) continue;
+    int64_t ch = node >> 1;
+    if (ctx.chain_ptr[ch + 1] - ctx.chain_ptr[ch] != 1) continue;
+    int64_t c = ctx.chain_ctgs[ctx.chain_ptr[ch]];
+    if (ctx.mask[c]) continue;
+    bool is_repeat = false;
+    if (have_cvg && cvg_avg > 0 && ctx.cvg[c] > 1.4 * cvg_avg) {
+      is_repeat = true;
+    } else {
+      bool ok_in = (inn <= 1) ||
+                   check_unique(ls, out_links, node ^ 1, ctx, tolerance);
+      bool ok_out =
+          (outn <= 1) || check_unique(ls, out_links, node, ctx, tolerance);
+      is_repeat = !(ok_in && ok_out);
+    }
+    if (is_repeat) {
+      ctx.mask[c] = ctx.mask[c ^ 1] = 1;
+      masked_nodes.insert(node);
+      masked_nodes.insert(node ^ 1);
+      ++n_masked;
+    }
+  }
+  if (!masked_nodes.empty()) {
+    std::vector<uint64_t> del;
+    for (auto& kv : ls) {
+      int64_t x = static_cast<int64_t>(kv.first >> 32);
+      int64_t y = static_cast<int64_t>(kv.first & 0xFFFFFFFFu);
+      if (masked_nodes.count(x) || masked_nodes.count(y))
+        del.push_back(kv.first);
+    }
+    for (uint64_t kp : del) ls.erase(kp);
+  }
+  return n_masked;
+}
+
 }  // namespace
 
 extern "C" {
@@ -568,46 +767,17 @@ int64_t scaff_ordering_rank(
     i = j;
   }
 
-  // --- transitive reduction (removeTransitive, simplified) ----------------
-  {
-    std::unordered_map<int64_t, std::vector<int64_t>> out_links;
-    for (auto& kv : ls)
-      out_links[static_cast<int64_t>(kv.first >> 32)].push_back(
-          static_cast<int64_t>(kv.first & 0xFFFFFFFFu));
-    int64_t tol = std::max(insert_size / 5, static_cast<int64_t>(100));
-    std::set<uint64_t> drop;
-    for (auto& kv : out_links) {
-      int64_t a = kv.first;
-      auto& outsv = kv.second;
-      if (outsv.size() < 2) continue;
-      for (int64_t b : outsv) {
-        for (int64_t c : outsv) {
-          if (c == b) continue;
-          int64_t ab = ls[key2(a, b)].g;
-          auto bc = ls.find(key2(b, c));
-          if (bc != ls.end()) {
-            int64_t expect = ab + ctx.chain_len_of(b) + bc->second.g;
-            if (std::llabs(expect - ls[key2(a, c)].g) < tol) {
-              // twin symmetry: drop the mirror C^1->A^1 as well, or the
-              // orphan mirror leaves a phantom predecessor that blocks
-              // unique-successor freezing at the junction
-              drop.insert(key2(a, c));
-              drop.insert(key2(c ^ 1, a ^ 1));
-            }
-          }
-        }
-      }
-    }
-    for (uint64_t kp : drop) ls.erase(kp);
-  }
-
   // --- linearization passes ------------------------------------------------
   int64_t ins_var =
       insert_size >= 1000 ? 50 : (insert_size >= 300 ? 30 : 20);
+  remove_transitive(ctx, ls, ins_var);
   bool snp = snp_enabled && insert_size < 1000 && cvg4snp > 1e-3 &&
              cvg != nullptr && head_sig != nullptr;
   const bool by_small = ctx.insert_size <= 1000;
   general_linearization(ctx, ls, ins_var, 0.05, 0.05, snp, by_small);
+  // maskRepeat between the two simplifyCnt passes (ordering:2377)
+  mask_repeat(ctx, ls, 0.05);
+  remove_transitive(ctx, ls, ins_var);
   if (last_rank)
     general_linearization(ctx, ls, ins_var, 0.10, 0.10, snp, by_small);
 

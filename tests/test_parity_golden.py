@@ -157,3 +157,40 @@ def test_golden_diploid_snp(tmp_path):
     assert tpu["scaffold"]["N50"] >= 0.95 * ref["scaffold"]["N50"]
     assert tpu["matched"] >= 0.95 * ref["matched"]
     assert tpu["mismatched"] <= max(2 * ref["mismatched"], 200)
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_multik_1mb(tmp_path):
+    """Multi-k at the scale it exists for (VERDICT r4 item 4): 1 Mb,
+    contig -m 43 from K=23 both sides.  Identity-aware: the junction-read
+    rebuild yields far longer gapless scaffolds than the reference's
+    per-level recount, so a single base error would zero a whole segment
+    under the exact-substring metric — the k-mer identity bound is the
+    honest sequence-quality bar (>=99.9%)."""
+    from parity_check import run_parity
+
+    res = run_parity(
+        str(tmp_path), genome_len=1_000_000, k=23,
+        ref_extra=("-m", "43"), tpu_extra=("-m", "43"),
+    )
+    ref, tpu = res["ref"], res["tpu"]
+    assert tpu["scaffold"]["N50"] >= 0.95 * ref["scaffold"]["N50"]
+    assert tpu["identity"] >= 0.999
+    assert tpu["scaffold"]["total"] >= 0.95 * 1_000_000
+
+
+@pytest.mark.slow
+@needs_ref
+def test_golden_diploid_snp_1mb(tmp_path):
+    """Diploid fidelity at 1 Mb with -R -M 2 (VERDICT r4 item 8):
+    bubble counts ~3,300 stress tour-bus merge bookkeeping + solveReps
+    jointly (bubble.c:2389, splitReps.c:591)."""
+    from parity_check import run_parity_diploid
+
+    res = run_parity_diploid(str(tmp_path), genome_len=1_000_000, k=23,
+                             extra=("-R", "-M", "2"))
+    ref, tpu = res["ref"], res["tpu"]
+    assert tpu["scaffold"]["N50"] >= 0.95 * ref["scaffold"]["N50"]
+    assert tpu["matched"] >= 0.95 * ref["matched"]
+    assert tpu["mismatched"] <= max(2 * ref["mismatched"], 500)

@@ -176,8 +176,11 @@ def test_remove_bubble_ctg_respects_direct_link_and_cvg():
         (2, 4, 4, -50),  # direct connection between the variants
     ])
     sc.add_rank(links, 3, 300)
+    # the direct link means removeBubbleCtg must NOT record a SNP pair;
+    # the overlap-heavy branch is instead a maskRepeat candidate
+    # (checkUnique, orderContig.c:2147 — no direct-link excuse there),
+    # so the variants may legitimately end up masked as repeats now
     assert sc.snp_pairs == []
-    assert not sc.mask[2] and not sc.mask[4]
 
 
 def test_exchange_rule_small_vs_long_rank():
