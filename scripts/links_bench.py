@@ -23,7 +23,10 @@ def main():
     ctg_len[1::2] = ctg_len[0::2]
     rid = np.arange(n_reads, dtype=np.int64)
     ctg = rng.integers(0, 2 * n_ctg, size=n_reads).astype(np.int32)
-    pos = rng.integers(0, 400, size=n_reads).astype(np.int32)
+    # reads anchored near contig tails so the gap estimate lands inside
+    # the attach1PE accept window (g in [-ins/10, ins])
+    tail_off = rng.integers(80, 220, size=n_reads).astype(np.int32)
+    pos = (ctg_len[ctg] - tail_off).astype(np.int32)
     ins = 400
 
     from soapdenovo2_tpu.models import scaffold as sf
@@ -38,6 +41,21 @@ def main():
     len_d = jnp.asarray(ctg_len, jnp.int32)
     dev, _ = sf.build_links_for_grad_device(rid_d, ctg_d, pos_d, len_d,
                                             ins, 0, n_reads)  # warm
+    # kernel-only: the accumulation itself, outputs left device-resident
+    # (a co-located deployment consumes them at PCIe/ICI bandwidth; the
+    # axon tunnel's ~30 MB/s download is an artifact of this test rig
+    # and is reported separately below)
+    kern = sf._links_kernel_cache[0]
+    link_cap = 1 << max(int(np.ceil(np.log2(n_reads))), 20)
+    out = kern(rid_d, ctg_d, pos_d, len_d, 0, n_reads, ins,
+               link_cap, 1 << 20)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = kern(rid_d, ctg_d, pos_d, len_d, 0, n_reads, ins,
+               link_cap, 1 << 20)
+    jax.block_until_ready(out)
+    kernel_s = time.time() - t0
+
     t0 = time.time()
     dev, _ = sf.build_links_for_grad_device(rid_d, ctg_d, pos_d, len_d,
                                             ins, 0, n_reads)
@@ -50,8 +68,9 @@ def main():
 
     assert (host.c1 == dev.c1).all() and (host.weight == dev.weight).all()
     print({"links": int(host.c1.size), "host_s": round(host_s, 2),
-           "device_s": round(dev_s, 2),
-           "speedup": round(host_s / dev_s, 1)})
+           "device_kernel_s": round(kernel_s, 2),
+           "device_with_tunnel_download_s": round(dev_s, 2),
+           "kernel_speedup": round(host_s / kernel_s, 1)})
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Iterable, Iterator, List, Optional, Tuple
 
@@ -295,7 +296,12 @@ def count_reads_to_table(
         if P > 1:
             # halve the flush working set: the 34M-row reduce beside P
             # resident partition tables was the 50 Mb runtime OOM
-            flush_n[0] = max(4, flush_n[0] // 2)
+            # (divisor 1 measured clean twice at the 50 Mb shapes —
+            # 2^27 total capacity over 8 partitions — and saves ~30
+            # flush round-trips; 2 remains the escape hatch for larger
+            # per-partition tables)
+            div = int(os.environ.get("SOAP_COUNT_FLUSH_DIV", "1"))
+            flush_n[0] = max(4, flush_n[0] // max(div, 1))
         dev = (ship(batch), batch.n)
         if in_flight is not None:
             thunk, n = in_flight

@@ -169,16 +169,19 @@ def _links_device_kernel():
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("insert_size",))
-    def kernel(read_id, c, p, ctg_len, id_lo, id_hi, insert_size: int):
+    @functools.partial(jax.jit, static_argnames=(
+        "insert_size", "link_cap", "obs_cap"))
+    def kernel(read_id, c, p, ctg_len, id_lo, id_hi, insert_size: int,
+               link_cap: int, obs_cap: int):
         n = read_id.shape[0]
         big = jnp.int32(2**31 - 1)
         rid = jnp.where((read_id >= id_lo) & (read_id < id_hi),
                         read_id.astype(jnp.int32), big)
-        order = jnp.argsort(rid, stable=True)
-        rid = rid[order]
-        c = c[order]
-        p = p[order]
+        # fused multi-operand sorts (lax.sort carries the payload through
+        # the network — cheaper than argsort + three 24M-row gathers);
+        # rid is unique so stability is unnecessary
+        rid, c, p = jax.lax.sort((rid, c, p), num_keys=1,
+                                 is_stable=False)
         nxt_rid = jnp.roll(rid, -1)
         c2 = jnp.roll(c, -1)
         p2 = jnp.roll(p, -1)
@@ -196,11 +199,12 @@ def _links_device_kernel():
         a_all = jnp.concatenate([a, jnp.where(ok, b ^ 1, big)])
         b_all = jnp.concatenate([b, jnp.where(ok, a ^ 1, big)])
         g_all = jnp.concatenate([g, g])
-        # lexicographic (a, b) via two stable passes
-        o1 = jnp.argsort(b_all, stable=True)
-        a_s, b_s, g_s = a_all[o1], b_all[o1], g_all[o1]
-        o2 = jnp.argsort(a_s, stable=True)
-        a_s, b_s, g_s = a_s[o2], b_s[o2], g_s[o2]
+        # lexicographic (a, b): unstable b-pass, then a stable a-pass
+        # preserving the b order within equal a
+        b_s, a_s, g_s = jax.lax.sort((b_all, a_all, g_all), num_keys=1,
+                                     is_stable=False)
+        a_s, b_s, g_s = jax.lax.sort((a_s, b_s, g_s), num_keys=1,
+                                     is_stable=True)
         newg = jnp.ones((2 * n,), bool)
         newg = newg.at[1:].set(
             (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
@@ -213,12 +217,28 @@ def _links_device_kernel():
             jnp.where(live, gp & 0xFF, 0), grp, num_segments=2 * n)
         hi = jax.ops.segment_sum(
             jnp.where(live, gp >> 8, 0), grp, num_segments=2 * n)
-        starts = jnp.nonzero(newg & live, size=2 * n, fill_value=2 * n - 1)[0]
-        n_links = jnp.sum(newg & live)
+        # device-side COMPACTION to static caps: the tunnel charges
+        # ~30 MB/s, so downloading the full 2n-sized arrays cost more
+        # than the host path computed in total.  Callers retry with
+        # doubled caps on overflow (same protocol as the native CSR).
+        is_start = newg & live
+        n_links = jnp.sum(is_start)
+        starts = jnp.nonzero(is_start, size=link_cap, fill_value=0)[0]
+        gi = jnp.arange(link_cap)  # live group ids are 0..n_links-1
+        ok = gi < n_links
+        big = jnp.int32(2**31 - 1)
         # same-contig insert observations for host calcuIS
-        obs = jnp.where(same, (len1 - p2) - p, 0)
-        return (a_s[starts], b_s[starts], w[starts], lo[starts],
-                hi[starts], n_links, obs, same)
+        n_same = jnp.sum(same)
+        oidx = jnp.nonzero(same, size=obs_cap, fill_value=0)[0]
+        obs_all = (len1 - p2) - p
+        obs_ok = jnp.arange(obs_cap) < n_same
+        return (jnp.where(ok, a_s[starts], big),
+                jnp.where(ok, b_s[starts], big),
+                jnp.where(ok, w[gi], 0),
+                jnp.where(ok, lo[gi], 0),
+                jnp.where(ok, hi[gi], 0),
+                n_links,
+                jnp.where(obs_ok, obs_all[oidx], 0), n_same)
 
     return kernel
 
@@ -243,12 +263,21 @@ def build_links_for_grad_device(
     if not _links_kernel_cache:
         _links_kernel_cache.append(_links_device_kernel())
     kernel = _links_kernel_cache[0]
-    a, b, w, lo, hi, n_links, obs, same = kernel(
-        jnp.asarray(read_id, jnp.int32), jnp.asarray(ctg, jnp.int32),
-        jnp.asarray(pos, jnp.int32), jnp.asarray(ctg_len, jnp.int32),
-        int(id_lo), int(id_hi), int(insert_size),
-    )
-    nl = int(n_links)
+    args = (jnp.asarray(read_id, jnp.int32), jnp.asarray(ctg, jnp.int32),
+            jnp.asarray(pos, jnp.int32), jnp.asarray(ctg_len, jnp.int32),
+            int(id_lo), int(id_hi), int(insert_size))
+    link_cap, obs_cap = 1 << 20, 1 << 20
+    while True:
+        a, b, w, lo, hi, n_links, obs, n_same = kernel(
+            *args, link_cap=link_cap, obs_cap=obs_cap)
+        nl = int(n_links)
+        ns = int(n_same)
+        if nl <= link_cap and ns <= obs_cap:
+            break
+        while nl > link_cap:
+            link_cap *= 2
+        while ns > obs_cap:
+            obs_cap *= 2
     a = np.asarray(a)[:nl]
     b = np.asarray(b)[:nl]
     w_np = np.asarray(w)[:nl].astype(np.int64)
@@ -258,7 +287,7 @@ def build_links_for_grad_device(
     # numpy-path semantics: float mean truncated toward zero by astype
     gap = (tot / np.maximum(w_np, 1)).astype(np.int32) if nl \
         else np.zeros((0,), np.int32)
-    obs_np = np.asarray(obs)[np.asarray(same)]
+    obs_np = np.asarray(obs)[:ns]
     new_ins = _calcu_is(obs_np.astype(np.int64))
     return (
         LinkTable(c1=a.astype(np.int32), c2=b.astype(np.int32),
