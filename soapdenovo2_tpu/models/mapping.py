@@ -550,6 +550,15 @@ def run_map(cfg, contig_seqs: List[str], k: int,
     if progress:
         log.info("contig index: %d unique kmers over %d contigs",
                  index.keys.shape[0], index.n_contigs)
+    # Large-index runs are tunnel-dispatch bound (50 Mb: 305 batches x
+    # ~0.54 s/dispatch = most of the 166 s mapping time): 4x the read
+    # batch quarters the round trips.  The per-batch kernel working set
+    # (~160 MB of extracted words at 196k reads x 100 bp) stays far
+    # below HBM.  Small runs keep the bench-warmed 49152 shapes.
+    if index.keys.shape[0] >= (16 << 20) and batch_size <= 65536:
+        batch_size *= 4
+        if progress:
+            log.info("map: large index -> batch %d", batch_size)
     if mesh == "auto":
         from ..parallel.shard_streams import default_mesh
 

@@ -240,22 +240,29 @@ def count_reads_to_table(
             log.debug("partition flush: P=%d cap_p=%d run_cap=%d rcap=%d "
                       "l1=%s runs=%s", P, cap_p, run_cap,
                       l1.keys.shape[0], l1.keys.shape, run_sizes.tolist())
+            prev_merged = None
             for p in range(P):
                 if run_sizes[p] == 0:
                     continue
                 run_p = _slice_sorted_run(l1.keys, l1.covs,
                                           bounds[p], bounds[p + 1],
                                           run_cap)
-                # serialize the per-partition merges (async dispatch lets
-                # P merge workspaces go live at once) and retry transient
-                # remote-compile RESOURCE_EXHAUSTED: the compile helper
-                # fails sporadically under a loaded worker, succeeding on
-                # the same shape seconds later
+                # bound merge-workspace co-residency at TWO (async
+                # dispatch would let all P go live at once — the 50 Mb
+                # OOM) by blocking on partition p-1 only after p has
+                # dispatched: merge p computes while p-1's completion
+                # rides the tunnel.  Retry transient remote-compile
+                # RESOURCE_EXHAUSTED: the compile helper fails
+                # sporadically under a loaded worker, succeeding on the
+                # same shape seconds later.
                 for attempt in range(4):
                     try:
                         tables[p] = sc.merge_sorted_tables(
                             tables[p], run_p, cap_p)
-                        jax.block_until_ready(tables[p].n)
+                        if prev_merged is not None:
+                            jax.block_until_ready(
+                                tables[prev_merged].n)
+                        prev_merged = p
                         break
                     except jax.errors.JaxRuntimeError as exc:
                         # Only the remote-COMPILE service flakes are
@@ -516,6 +523,9 @@ def read_paths_batch(
     table_dir=None,
     dir_steps: int = 0,
     dir_shift: int = 0,
+    patch_dir=None,
+    pdir_steps: int = 0,
+    pdir_shift: int = 0,
 ):
     """Map one read batch onto edges; emit per-position edge hits.
 
@@ -535,12 +545,14 @@ def read_paths_batch(
         (idx >= 0) & out["valid"], state_edge[state], -1
     )
     if patch_keys.shape[0] > 0:
-        p_hit = patch_hits(out, k, patch_keys, patch_edge, patch_twin)
+        p_hit = patch_hits(out, k, patch_keys, patch_edge, patch_twin,
+                           patch_dir, pdir_steps, pdir_shift)
         hit = jnp.where(hit >= 0, hit, p_hit)
     return hit
 
 
-def patch_hits(out, k: int, patch_keys, patch_edge, patch_twin):
+def patch_hits(out, k: int, patch_keys, patch_edge, patch_twin,
+               patch_dir=None, pdir_steps: int = 0, pdir_shift: int = 0):
     """(k+1)-mer patch lookup WITHOUT a second full extraction
     (prlRead2path.c does one chop pass and search1kmerPlus:550 on top of
     it): the (k+1)-mer at position p is the forward k-mer plus the next
@@ -567,7 +579,11 @@ def patch_hits(out, k: int, patch_keys, patch_edge, patch_twin):
     )
     rcp = kops.reverse_complement(plus, k + 1)
     canon1, rc1 = kops.canonical(plus, rcp)
-    pidx = sc.lookup_kmers(patch_keys, canon1)  # (B, P)
+    if patch_dir is not None:
+        pidx = sc.lookup_kmers_dir(patch_keys, canon1, patch_dir,
+                                   pdir_steps, pdir_shift)  # (B, P)
+    else:
+        pidx = sc.lookup_kmers(patch_keys, canon1)  # (B, P)
     return jnp.where(
         (pidx >= 0) & ok1,
         jnp.where(rc1, patch_twin[jnp.maximum(pidx, 0)],
@@ -577,31 +593,37 @@ def patch_hits(out, k: int, patch_keys, patch_edge, patch_twin):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "dir_steps", "dir_shift", "L")
+    jax.jit, static_argnames=("k", "dir_steps", "dir_shift", "L",
+                              "pdir_steps", "pdir_shift")
 )
 def _arc_pairs_from_batch_packed(packed, lengths, n_rows, n_cols, L,
                                  k, table_keys, state_edge, state_rank,
                                  patch_keys, patch_edge, patch_twin,
                                  table_dir=None, dir_steps: int = 0,
-                                 dir_shift: int = 0):
+                                 dir_shift: int = 0, patch_dir=None,
+                                 pdir_steps: int = 0, pdir_shift: int = 0):
     codes = kops.unpack_codes(packed, lengths, L, n_rows, n_cols)
     return _arc_pairs_from_batch.__wrapped__(
         codes, lengths, k, table_keys, state_edge, state_rank,
         patch_keys, patch_edge, patch_twin, table_dir, dir_steps, dir_shift,
+        patch_dir, pdir_steps, pdir_shift,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "dir_steps", "dir_shift")
+    jax.jit, static_argnames=("k", "dir_steps", "dir_shift",
+                              "pdir_steps", "pdir_shift")
 )
 def _arc_pairs_from_batch(codes, lengths, k, table_keys, state_edge, state_rank,
                           patch_keys, patch_edge, patch_twin,
                           table_dir=None, dir_steps: int = 0,
-                          dir_shift: int = 0):
+                          dir_shift: int = 0, patch_dir=None,
+                          pdir_steps: int = 0, pdir_shift: int = 0):
     hits = read_paths_batch(
         codes, lengths, k, table_keys, state_edge, state_rank,
         patch_keys, patch_edge, patch_twin,
         table_dir, dir_steps, dir_shift,
+        patch_dir, pdir_steps, pdir_shift,
     )
     prev = _last_seen_scan(hits)
     is_arc = (hits >= 0) & (prev >= 0) & (hits != prev)
@@ -633,6 +655,14 @@ def build_arcs(
     # ~log2(max_bucket) dependent gathers.  Built ON DEVICE — the host
     # variant downloaded the whole key table (~128 MB at 16M kmers)
     table_dir, dsteps, dshift = sc.build_prefix_dir_device(table.keys, k)
+    # (k+1)-mer patch dir: the undirected patch lookup is a ~20-step
+    # bisection chain at E-scale patch tables; small runs keep the
+    # bench-warmed directory-free shapes
+    if eg.patch_keys.shape[0] > (1 << 20):
+        patch_dir, psteps, pshift = sc.build_prefix_dir_device(
+            patch_keys, k + 1)
+    else:
+        patch_dir, psteps, pshift = None, 0, 0
     marker = np.zeros((eg.n_edges,), np.int32)
     paths: Optional[List[np.ndarray]] = [] if record_paths else None
     pending: list = []
@@ -687,6 +717,7 @@ def build_arcs(
                 codes_d, lengths_d, k, table.keys, state_edge, state_rank,
                 patch_keys, patch_edge, patch_twin,
                 table_dir, dsteps, dshift,
+                patch_dir, psteps, pshift,
             )
         packed, nr, nc = pi
         args = (jnp.asarray(packed), jnp.asarray(batch.lengths),
@@ -697,6 +728,7 @@ def build_arcs(
             patch_keys=patch_keys, patch_edge=patch_edge,
             patch_twin=patch_twin, table_dir=table_dir,
             dir_steps=dsteps, dir_shift=dshift,
+            patch_dir=patch_dir, pdir_steps=psteps, pdir_shift=pshift,
         )
 
     if cached is not None:
@@ -710,6 +742,7 @@ def build_arcs(
                 patch_keys=patch_keys, patch_edge=patch_edge,
                 patch_twin=patch_twin, table_dir=table_dir,
                 dir_steps=dsteps, dir_shift=dshift,
+                patch_dir=patch_dir, pdir_steps=psteps, pdir_shift=pshift,
             )
             consume(*out, n)
         flush()

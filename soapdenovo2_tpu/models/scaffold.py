@@ -359,11 +359,24 @@ class Scaffolder:
         ).any():
             mean_cvg = float(np.median(self.cvg_dir[self.cvg_dir > 0]))
             if mask_high_cvg:
-                # exact reference coverage masking (loadGraph.c:400-460):
-                # cvgAvg = max(mean cvg, 3); -c/-C set the low/high factors
+                # exact reference coverage masking (loadGraph.c:390-460):
+                # cvgAvg is LENGTH-WEIGHTED over contigs >100 bp
+                # (cvgSum += cvg*(len-k) at :393, len>100 gate at :390) —
+                # an unweighted mean lets short error-contig noise drag
+                # the average down until every real contig trips the
+                # high-coverage repeat mask (the sparse-golden split);
+                # -c/-C set the low/high factors
                 cv = self.cvg_dir
                 counted = cv > 0
-                cvg_avg = max(float(cv[counted].mean()), 3.0)
+                w = np.maximum(ctg_len - k, 1).astype(np.float64)
+                wc = counted & (ctg_len > 100)
+                if wc.any():
+                    cvg_avg = float((cv[wc] * w[wc]).sum() / w[wc].sum())
+                elif counted.any():
+                    cvg_avg = float(cv[counted].mean())
+                else:
+                    cvg_avg = 0.0
+                cvg_avg = max(cvg_avg, 3.0)
                 high1 = cvg_high * cvg_avg
                 high2 = 0.8 * high1
                 low = cvg_low * cvg_avg

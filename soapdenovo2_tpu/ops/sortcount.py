@@ -619,7 +619,20 @@ def lookup_kmers(table_keys, queries):
 # bisection needs only ceil(log2(max_bucket)) steps (typically 6-10).
 
 
-def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20,
+def _auto_dir_bits(n_keys: int, bits: Optional[int]) -> int:
+    """Directory width: 20 bits up to ~4M keys (the bench-warmed
+    shapes), growing to 24 for E-scale tables — avg bucket stays ~4, so
+    the bisection runs ~4 dependent gathers instead of ~8 (the lookup
+    passes are gather-bound at ~50M elem/s; 50 Mb arc+map measured
+    148+166 s at 20 bits)."""
+    if bits is not None:
+        return bits
+    if n_keys <= (4 << 20):
+        return 20
+    return min(24, max(20, (n_keys - 1).bit_length() - 2))
+
+
+def build_prefix_dir(keys: np.ndarray, k: int, bits: Optional[int] = None,
                      n: Optional[int] = None):
     """Host-side directory build over a sorted key array.
 
@@ -631,6 +644,7 @@ def build_prefix_dir(keys: np.ndarray, k: int, bits: int = 20,
     rows never land in the last bucket — without it the sentinel run
     inflates max_bucket to ~capacity-n and ``steps`` back to ~log2(C),
     neutralizing the whole optimization."""
+    bits = _auto_dir_bits(keys.shape[0], bits)
     w0_bits = kops.top_word_bits(k)
     eff = max(1, min(bits, w0_bits))
     shift = w0_bits - eff
@@ -666,12 +680,13 @@ def _prefix_dir_device(keys, shift: int, nb: int):
     return jnp.minimum(directory, n_live)
 
 
-def build_prefix_dir_device(keys, k: int, bits: int = 20):
+def build_prefix_dir_device(keys, k: int, bits: Optional[int] = None):
     """Directory build from DEVICE-resident sorted keys: one small jitted
     searchsorted (the top bits of sorted keys are themselves sorted) and a
     4 MB readback to derive the static bisection step count — avoids
     downloading the multi-hundred-MB key table.  Returns
     (directory device array, steps, shift)."""
+    bits = _auto_dir_bits(keys.shape[0], bits)
     w0_bits = kops.top_word_bits(k)
     eff = max(1, min(bits, w0_bits))
     shift = w0_bits - eff
