@@ -111,6 +111,56 @@ def _banded_dist_call(a, b, lens, interpret: bool):
     )(a, b, lens)
 
 
+def _banded_numpy(a_codes: np.ndarray, b_codes: np.ndarray,
+                  a_len: np.ndarray, b_len: np.ndarray) -> np.ndarray:
+    """Vectorized host-numpy banded DP, same contract as the kernel.
+
+    Exists for non-TPU backends at LARGE shapes: the pallas interpret
+    path lowers to one enormous XLA graph whose CPU compile SEGFAULTS
+    around L~2048 (multik 1 Mb golden, bubble_pinch_paths).  The in-row
+    insertion recurrence uses the exact slope-1 prefix-min identity
+    (min_{d'<=d} m[d'] + (d-d')) instead of the kernel's doubling scan."""
+    n = a_codes.shape[0]
+    out = np.full((n,), INF, np.int64)
+    if n == 0:
+        return out.astype(np.int32)
+    d_idx = np.arange(BAND, dtype=np.int64)
+    row = np.where(d_idx >= B_RADIUS, d_idx - B_RADIUS, INF)[None, :]
+    row = np.repeat(row, n, axis=0)
+    a_len = np.asarray(a_len, np.int64)
+    b_len = np.asarray(b_len, np.int64)
+    target_d = b_len - a_len + B_RADIUS
+    sel0 = (a_len == 0) & (target_d >= 0) & (target_d < BAND)
+    out[sel0] = b_len[sel0]
+    l_max = int(a_len.max())
+    apad = a_codes.astype(np.int16)
+    bpad = np.full((n, b_codes.shape[1] + BAND + 16), 254, np.int16)
+    bpad[:, B_RADIUS:B_RADIUS + b_codes.shape[1]] = b_codes
+    rows_idx = np.arange(n)
+    for i in range(1, l_max + 1):
+        a_i = apad[:, i - 1][:, None] if i - 1 < apad.shape[1] else \
+            np.full((n, 1), 255, np.int16)
+        bwin = bpad[:, i - 1: i - 1 + BAND]  # b[j-1], j = i + d - B_RADIUS
+        sub = row + (bwin != a_i)
+        dele = np.concatenate(
+            [row[:, 1:], np.full((n, 1), INF, np.int64)], axis=1) + 1
+        m = np.minimum(sub, dele)
+        r = m - d_idx[None, :]
+        np.minimum.accumulate(r, axis=1, out=r)
+        np.minimum(m, r + d_idx[None, :], out=m)
+        np.minimum(m, INF, out=m)
+        row = m
+        hit = a_len == i
+        if hit.any():
+            td = target_d[hit]
+            ok = (td >= 0) & (td < BAND)
+            vals = np.full(td.shape, INF, np.int64)
+            hr = rows_idx[hit]
+            vals[ok] = m[hr[ok], td[ok]]
+            out[hit] = np.minimum(out[hit], vals)
+    return np.minimum(out, INF).astype(np.int32)
+
+
 def banded_edit_distance(
     a_codes: np.ndarray, b_codes: np.ndarray,
     a_len: np.ndarray, b_len: np.ndarray,
@@ -124,6 +174,12 @@ def banded_edit_distance(
     L = max(a_codes.shape[1], b_codes.shape[1])
     L = -(-L // 8) * 8  # aligned row count
     npad = max(PAIR_BLOCK, -(-n // PAIR_BLOCK) * PAIR_BLOCK)
+    if jax.default_backend() not in ("tpu", "axon") and (
+            L > 512 or npad > 2048):
+        # interpret-mode pallas at these shapes segfaults the XLA CPU
+        # compiler; small shapes stay on the interpret path so the
+        # kernel logic keeps CPU test coverage
+        return _banded_numpy(a_codes, b_codes, a_len, b_len)
     # int32 buffers sidestep the 8-bit tile alignment rules
     a = np.full((npad, L), 255, np.int32)
     a[:n, : a_codes.shape[1]] = a_codes

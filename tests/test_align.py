@@ -77,3 +77,47 @@ def test_identical_zero():
         c, c, np.array([len(s)], np.int32), np.array([len(s)], np.int32)
     )
     assert got[0] == 0
+
+
+def test_banded_numpy_matches_kernel_and_bruteforce(rng):
+    """_banded_numpy (the large-shape CPU fallback) == interpret kernel
+    == brute force within the band, including length-skew and empty-a
+    edge cases."""
+    from soapdenovo2_tpu.ops.align import _banded_numpy, B_RADIUS, INF
+
+    L = 80
+    pairs = []
+    for _ in range(30):
+        a = "".join("ACGT"[i] for i in rng.integers(0, 4, size=rng.integers(0, L)))
+        b = list(a)
+        for _ in range(int(rng.integers(0, 24))):  # some exceed the band
+            p = int(rng.integers(0, max(len(b), 1))) if b else 0
+            op = rng.integers(0, 3)
+            if op == 0 and b:
+                b[p] = "ACGT"[int(rng.integers(0, 4))]
+            elif op == 1 and len(b) > 1:
+                del b[p]
+            else:
+                b.insert(p, "ACGT"[int(rng.integers(0, 4))])
+        pairs.append((a, "".join(b)))
+    pairs.append(("", "ACGT"))
+    pairs.append(("ACGT", ""))
+    n = len(pairs)
+    Lp = max(max(len(a), len(b)) for a, b in pairs) + 4
+    a_arr = np.zeros((n, Lp), np.uint8)
+    b_arr = np.zeros((n, Lp), np.uint8)
+    a_len = np.zeros((n,), np.int32)
+    b_len = np.zeros((n,), np.int32)
+    for i, (a, b) in enumerate(pairs):
+        a_arr[i, : len(a)] = _codes(a)
+        b_arr[i, : len(b)] = _codes(b)
+        a_len[i], b_len[i] = len(a), len(b)
+    got_np = _banded_numpy(a_arr, b_arr, a_len, b_len)
+    got_k = align.banded_edit_distance(a_arr, b_arr, a_len, b_len)
+    assert (got_np == got_k).all(), (got_np, got_k)
+    for i, (a, b) in enumerate(pairs):
+        want = brute_lev(a, b)
+        if want <= B_RADIUS:
+            assert got_np[i] == want, (i, got_np[i], want)
+        else:
+            assert got_np[i] >= want

@@ -147,6 +147,23 @@ def test_golden_multirank_1mb(tmp_path):
 
 @pytest.mark.slow
 @needs_ref
+def test_golden_multirank_repeatrich_1mb(tmp_path):
+    """Second mixed-rank golden (VERDICT r4 item 7): different seed and
+    3x the repeat density of test_golden_multirank_1mb — repeat-rich
+    fidelity of the rank loop + maskPuzzle/checkUnique machinery is what
+    the faithful sub-phases exist for (orderContig.c:2147,2222,6464)."""
+    from parity_check import run_parity_multirank
+
+    res = run_parity_multirank(str(tmp_path), genome_len=1_000_000,
+                               seed=17, repeat_frac=0.06)
+    ref, tpu = res["ref"], res["tpu"]
+    assert tpu["scaffold"]["N50"] >= 0.95 * ref["scaffold"]["N50"]
+    assert tpu["matched"] >= 0.98 * ref["matched"]
+    assert tpu["mismatched"] <= max(ref["mismatched"], 500)
+
+
+@pytest.mark.slow
+@needs_ref
 def test_golden_diploid_snp(tmp_path):
     """Bubble-dense diploid (-R): ~1 SNP/300 bp means the graph is wall-
     to-wall bubbles, exercising tour-bus merge bookkeeping
