@@ -221,15 +221,24 @@ def main() -> None:
                 coverage=30.0, error_rate=0.005, seed=7,
             )
             warmup.wait(timeout=120)
-            prefix = os.path.join(out, "asm")
-            t0 = time.time()
-            cli.main(["all", "-s", cfg, "-K", "31", "-o", prefix,
-                      "-d", "1", "-z", "2000000", "-F"])
-            e2e_s = round(time.time() - t0, 1)
-            scafs = [x for _, x in fio.read_fasta(prefix + ".scafSeq")
-                     if len(x) >= 100]
-            st = sim.assembly_stats(scafs)
-            e2e = {"e2e_2mb_wallclock_s": e2e_s,
+            # TWO timed repetitions, best kept, SAME treatment for the
+            # reference below: the tunneled remote device varies ~2x run
+            # to run (identical count-only runs measured 245/384/473 s
+            # at 50 Mb across 45 min), so a single sample is weather,
+            # not a measurement.  Both samples are reported.
+            samples = []
+            st = None
+            for rep in range(2):
+                prefix = os.path.join(out, f"asm{rep}")
+                t0 = time.time()
+                cli.main(["all", "-s", cfg, "-K", "31", "-o", prefix,
+                          "-d", "1", "-z", "2000000", "-F"])
+                samples.append(round(time.time() - t0, 1))
+                scafs = [x for _, x in fio.read_fasta(prefix + ".scafSeq")
+                         if len(x) >= 100]
+                st = sim.assembly_stats(scafs)
+            e2e = {"e2e_2mb_wallclock_s": min(samples),
+                   "e2e_2mb_samples_s": samples,
                    "e2e_2mb_scaffold_n50": st["N50"]}
             # Re-measure the reference binary in the SAME capture (same
             # dataset, same host) so the ratio of record cannot drift;
@@ -242,15 +251,20 @@ def main() -> None:
                 import parity_check as pc
 
                 binary = pc.build_reference(63)
-                rt0 = time.time()
-                subprocess.run(
-                    [binary, "all", "-s", cfg, "-K", "31", "-o",
-                     os.path.join(out, "ref_asm"), "-p", "2", "-F"],
-                    check=True, capture_output=True,
-                    timeout=max(budget_s - (time.time() - t_start), 60),
-                    cwd=out,
-                )
-                e2e["e2e_ref_2mb_wallclock_s"] = round(time.time() - rt0, 1)
+                ref_samples = []
+                for rep in range(2):  # best-of-2, same as our side
+                    rt0 = time.time()
+                    subprocess.run(
+                        [binary, "all", "-s", cfg, "-K", "31", "-o",
+                         os.path.join(out, f"ref_asm{rep}"), "-p", "2",
+                         "-F"],
+                        check=True, capture_output=True,
+                        timeout=max(budget_s - (time.time() - t_start), 60),
+                        cwd=out,
+                    )
+                    ref_samples.append(round(time.time() - rt0, 1))
+                e2e["e2e_ref_2mb_wallclock_s"] = min(ref_samples)
+                e2e["e2e_ref_2mb_samples_s"] = ref_samples
                 e2e["e2e_ref_measured"] = True
             except Exception:  # noqa: BLE001 — keep our number regardless
                 e2e["e2e_ref_2mb_wallclock_s"] = 37.7
