@@ -12,9 +12,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # The CPU backend's parallel LLVM codegen segfaulted
+    # nondeterministically under the 1 Mb golden runs (three crashes at
+    # two different compile sites, 2026-08-22); single-split codegen
+    # trades a little compile time for a JIT that doesn't take the
+    # process down mid-suite.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Auto-sharding off by default in tests: the 8 virtual devices exist for
 # the EXPLICIT sharding tests; everything else checks single-chip
